@@ -1,0 +1,368 @@
+"""HeLI-style n-gram language identification — vectorized numpy core.
+
+From-scratch reimplementation of the reference's scoring dataflow
+(``/root/reference/src/identifier.rs``), restructured for columnar batches:
+
+* P1 lowercase (identifier.rs:176)
+* P2 non-alpha → space via codepoint keep-table (identifier.rs:177, utils.rs:8-11)
+* P3 CJK boundary split + cjk/mystery counting (identifier.rs:180-217)
+* P4 whitespace tokenize (identifier.rs:224-228)
+* P5 char n-gram shingles over " word " (identifier.rs:244-253)
+* C1 gram lookup-accumulate with penalty 7.0 (identifier.rs:139-168)
+* C2 word→hexagram→…→unigram back-off, normalize by found-gram count
+  (identifier.rs:238-266)
+* C3 per-text normalization + CJK mass-penalty 8.0 (identifier.rs:281-298)
+* C4 winner argmin with the reference's ``<=`` scan (last index wins ties,
+  identifier.rs:56-69), macrolang collapse
+* C5 confidence = second-best (collapse-distinct) − best, thresholded → und
+  (identifier.rs:72-96)
+* C6 top-k ranking with collapse-dedup (identifier.rs:101-136)
+* C7 empty/no-word fallback → (zxx, 7.0) (identifier.rs:309-315)
+
+Two accumulation modes:
+
+* ``exact=True``: float32 additions in the reference's exact sequential order
+  (gram-by-gram, word-by-word) — reproduces the Rust golden scores to 4
+  decimals. Used for parity tests and reference-label generation.
+* fast (default): order-batched ``np.add.at`` scatter accumulation with a
+  cross-batch distinct-word memo (Zipf makes repeats dominate). Same labels
+  except in pathological float ties; this is the 100 TB path.
+
+No Spark imports here — this module runs inside Arrow-batch UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .langs import CJK_LANG_MASK, COLLAPSE, LANGS_ARR, N_LANGS, UND, ZXX
+from .model import PENALTY, HeliModel, get_model, hash_grams
+
+MAX_NGRAM = 6  # identifier.rs:38
+CJK_OVERRIDE = PENALTY + np.float32(1.0)  # 8.0 (identifier.rs:296)
+_COLLAPSE_I = COLLAPSE.astype(np.int64)
+
+
+def _shingles(wordspace: str, t: int) -> "list[str]":
+    """Char windows of width t over an already space-padded word (P5)."""
+    n = len(wordspace) - t + 1
+    return [wordspace[i : i + t] for i in range(n)] if n > 0 else []
+
+
+class Scorer:
+    """Batch scorer holding the model + a distinct-word memo.
+
+    One instance per Python worker process (see operators/identify.py); the
+    memo mirrors the reference's thread-local Identifier clones sharing an
+    Arc<Model> (identifier.rs:333-359) — state is per-worker, model is shared
+    via mmap.
+    """
+
+    def __init__(self, model: "HeliModel | None" = None, exact: bool = False,
+                 cache_cap: int = 400_000):
+        self.model = model if model is not None else get_model()
+        self.exact = exact
+        self.cache_cap = cache_cap
+        # fast memo: word -> (base_scalar f32, lang idx int16[], val f32[])
+        self._memo: dict = {}
+        # exact memo: word -> dense (N_LANGS,) f32 word-score vector
+        self._memo_exact: dict = {}
+
+    # ---------------------------------------------------------- preprocessing
+
+    def preprocess(self, text: str) -> "tuple[list[str], float]":
+        """P1-P4 → (tokens, cjk_pct). Empty token list ⇒ C7 fallback."""
+        m = self.model
+        lowered = text.lower()
+        if not lowered:
+            return [], 0.0
+        cp = np.frombuffer(lowered.encode("utf-32-le"), dtype="<u4")
+        cp = np.where(m.keep_table[cp], cp, np.uint32(0x20))
+        iscjk = m.cjk_table[cp]
+        nonspace = cp != 0x20
+        mystery_len = int(nonspace.sum())
+        if mystery_len == 0:
+            return [], 0.0
+        cjk_pct = float(iscjk.sum()) / mystery_len
+        # token starts/ends: break at spaces and at CJK↔non-CJK transitions
+        prev_nonspace = np.empty_like(nonspace)
+        prev_nonspace[0] = False
+        prev_nonspace[1:] = nonspace[:-1]
+        prev_cjk = np.empty_like(iscjk)
+        prev_cjk[0] = False
+        prev_cjk[1:] = iscjk[:-1]
+        starts = nonspace & (~prev_nonspace | (iscjk != prev_cjk))
+        next_nonspace = np.empty_like(nonspace)
+        next_nonspace[-1] = False
+        next_nonspace[:-1] = nonspace[1:]
+        next_cjk = np.empty_like(iscjk)
+        next_cjk[-1] = False
+        next_cjk[:-1] = iscjk[1:]
+        ends = nonspace & (~next_nonspace | (iscjk != next_cjk))
+        s_idx = np.flatnonzero(starts)
+        e_idx = np.flatnonzero(ends)
+        cleaned = cp.tobytes().decode("utf-32-le")
+        tokens = [cleaned[a : b + 1] for a, b in zip(s_idx, e_idx)]
+        return tokens, cjk_pct
+
+    # ---------------------------------------------------------- word scoring
+
+    def _score_words_fast(self, words: "list[str]") -> None:
+        """Score new distinct words (C1+C2), order-batched; fill the memo."""
+        m = self.model
+        memo = self._memo
+        if len(memo) > self.cache_cap:  # crude FIFO eviction
+            for k in list(memo.keys())[: self.cache_cap // 4]:
+                del memo[k]
+        # order 0: whole-word model
+        h = hash_grams(words)
+        idx = m.orders[0].lookup(h)
+        off = m.orders[0].offsets
+        active: list[str] = []
+        for wi, w in enumerate(words):
+            j = idx[wi]
+            if j >= 0:
+                s, e = int(off[j]), int(off[j + 1])
+                memo[w] = (PENALTY, m.orders[0].plang[s:e].astype(np.int16),
+                           m.orders[0].padj[s:e].copy())
+            else:
+                active.append(w)
+        # back-off cascade t = 6 .. 1 (identifier.rs:246)
+        for t in range(MAX_NGRAM, 0, -1):
+            if not active:
+                break
+            ot = m.orders[t]
+            grams: list[str] = []
+            gram_word: list[int] = []
+            for wi, w in enumerate(active):
+                gs = _shingles(f" {w} ", t)
+                grams.extend(gs)
+                gram_word.extend([wi] * len(gs))
+            if not grams:
+                continue
+            gh = hash_grams(grams)
+            gidx = ot.lookup(gh)
+            found = gidx >= 0
+            gw = np.asarray(gram_word, dtype=np.int64)
+            k_found = np.bincount(gw[found], minlength=len(active))
+            if not k_found.any():
+                continue
+            # scatter postings of found grams into per-word dense rows
+            fw = gw[found]
+            fi = gidx[found]
+            oo = ot.offsets
+            starts = oo[fi].astype(np.int64)
+            ends = oo[fi + 1].astype(np.int64)
+            lens = ends - starts
+            # flat posting gather via ranges
+            total = int(lens.sum())
+            pos = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens) \
+                + np.arange(total)
+            langs_cat = ot.plang[pos].astype(np.int64) if total else np.empty(0, np.int64)
+            adj_cat = ot.padj[pos] if total else np.empty(0, np.float32)
+            rows_cat = np.repeat(fw, lens)
+            scored = np.flatnonzero(k_found)
+            row_map = np.full(len(active), -1, dtype=np.int64)
+            row_map[scored] = np.arange(len(scored))
+            M = np.zeros((len(scored), N_LANGS), dtype=np.float32)
+            np.add.at(M, (row_map[rows_cat], langs_cat), adj_cat)
+            M /= k_found[scored].astype(np.float32)[:, None]
+            still: list[str] = []
+            for wi, w in enumerate(active):
+                r = row_map[wi]
+                if r >= 0:
+                    row = M[r]
+                    nz = np.flatnonzero(row)
+                    memo[w] = (PENALTY, nz.astype(np.int16), row[nz].copy())
+                else:
+                    still.append(w)
+            active = still
+        for w in active:  # never found at any order: contributes zeros
+            memo[w] = (np.float32(0.0), np.empty(0, np.int16), np.empty(0, np.float32))
+
+    def _score_word_exact(self, word: str) -> np.ndarray:
+        """Reference-order f32 accumulation for one word (parity mode)."""
+        m = self.model
+        h = hash_grams([word])
+        j = m.orders[0].lookup(h)[0]
+        if j >= 0:
+            off = m.orders[0].offsets
+            s, e = int(off[j]), int(off[j + 1])
+            vec = np.full(N_LANGS, PENALTY, dtype=np.float32)
+            vec[m.orders[0].plang[s:e]] = m.orders[0].pprob[s:e]
+            return vec
+        wordspace = f" {word} "
+        for t in range(MAX_NGRAM, 0, -1):
+            grams = _shingles(wordspace, t)
+            if not grams:
+                continue
+            ot = m.orders[t]
+            gidx = ot.lookup(hash_grams(grams))
+            fi = gidx[gidx >= 0]
+            if len(fi) == 0:
+                continue
+            w = np.zeros(N_LANGS, dtype=np.float32)
+            off = ot.offsets
+            for j in fi:  # sequential gram order, as the Rust loop
+                s, e = int(off[j]), int(off[j + 1])
+                d = np.full(N_LANGS, PENALTY, dtype=np.float32)
+                d[ot.plang[s:e]] = ot.pprob[s:e]
+                w += d
+            w /= np.float32(len(fi))  # norm by grammaara (identifier.rs:264)
+            return w
+        return np.zeros(N_LANGS, dtype=np.float32)
+
+    # ---------------------------------------------------------- text scoring
+
+    def score_batch(self, texts: "list[str]"):
+        """C1-C3 for a batch → (points (n,242) f32, valid bool[n], cjk_pct f32[n]).
+
+        Invalid rows (no tokens) have undefined points; callers must apply C7.
+        """
+        n = len(texts)
+        points = np.zeros((n, N_LANGS), dtype=np.float32)
+        valid = np.zeros(n, dtype=bool)
+        cjk_pct = np.zeros(n, dtype=np.float32)
+        tok_lists = []
+        for i, t in enumerate(texts):
+            toks, cjk = self.preprocess(t if isinstance(t, str) else "")
+            tok_lists.append(toks)
+            cjk_pct[i] = cjk
+            valid[i] = bool(toks)
+
+        if self.exact:
+            memo = self._memo_exact
+            if len(memo) > self.cache_cap:
+                for k in list(memo.keys())[: self.cache_cap // 4]:
+                    del memo[k]
+            for i, toks in enumerate(tok_lists):
+                if not toks:
+                    continue
+                lp = np.zeros(N_LANGS, dtype=np.float32)
+                for w in toks:
+                    v = memo.get(w)
+                    if v is None:
+                        v = self._score_word_exact(w)
+                        memo[w] = v
+                    lp += v  # sequential word order (identifier.rs:270)
+                lp /= np.float32(len(toks))
+                points[i] = lp
+        else:
+            local: dict[str, int] = {}
+            flat_ids: list[int] = []
+            bounds = np.zeros(n + 1, dtype=np.int64)
+            new_words: list[str] = []
+            memo = self._memo
+            for i, toks in enumerate(tok_lists):
+                for w in toks:
+                    li = local.get(w)
+                    if li is None:
+                        li = len(local)
+                        local[w] = li
+                        if w not in memo:
+                            new_words.append(w)
+                    flat_ids.append(li)
+                bounds[i + 1] = len(flat_ids)
+            if new_words:
+                self._score_words_fast(new_words)
+            u = len(local)
+            if u:
+                W = np.empty((u, N_LANGS), dtype=np.float32)
+                rows_idx: list[np.ndarray] = []
+                rows_val: list[np.ndarray] = []
+                rows_row: list[np.ndarray] = []
+                for w, li in local.items():
+                    base, nz, val = memo[w]
+                    W[li] = base
+                    if len(nz):
+                        rows_idx.append(nz)
+                        rows_val.append(val)
+                        rows_row.append(np.full(len(nz), li, dtype=np.int64))
+                if rows_idx:
+                    np.add.at(
+                        W,
+                        (np.concatenate(rows_row), np.concatenate(rows_idx).astype(np.int64)),
+                        np.concatenate(rows_val),
+                    )
+                ids = np.asarray(flat_ids, dtype=np.int64)
+                nwords = np.diff(bounds)
+                vrows = np.flatnonzero(valid)
+                # chunk the (occurrences, 242) gather to bound memory
+                chunk = max(1, 20_000 * 20 // max(1, int(nwords[valid].mean() or 1)))
+                for c0 in range(0, len(vrows), chunk):
+                    rows = vrows[c0 : c0 + chunk]
+                    lo, hi = bounds[rows[0]], bounds[rows[-1] + 1]
+                    seg = np.add.reduceat(W[ids[lo:hi]], bounds[rows] - lo, axis=0)
+                    points[rows] = seg / nwords[rows].astype(np.float32)[:, None]
+
+        # C3: CJK mass penalty after normalization (identifier.rs:291-298)
+        cjk_rows = valid & (cjk_pct > 0.5)
+        if cjk_rows.any():
+            points[np.ix_(cjk_rows, ~CJK_LANG_MASK)] = CJK_OVERRIDE
+        return points, valid, cjk_pct
+
+    # ---------------------------------------------------------- decisions
+
+    @staticmethod
+    def pick_winner_batch(points: np.ndarray, valid: np.ndarray,
+                          confidence: np.ndarray, ignore_confidence: bool = False):
+        """C4+C5 vectorized → (lang_idx i64[n], score f32[n], raw f32[n]).
+
+        Reference scan keeps the *last* index achieving the running min
+        (``points <= score``, identifier.rs:62-68) ⇒ reversed argmin.
+        """
+        n = len(points)
+        rev = points[:, ::-1]
+        wi = (N_LANGS - 1) - np.argmin(rev, axis=1)
+        raw = points[np.arange(n), wi]
+        wcol = _COLLAPSE_I[wi]
+        if ignore_confidence:
+            lang = wcol.copy()
+            score = raw.astype(np.float32)
+        else:
+            masked = np.where(
+                _COLLAPSE_I[None, :] == wcol[:, None], np.float32(np.inf), points
+            )
+            second = masked.min(axis=1)
+            conf = (second - raw).astype(np.float32)
+            thr = confidence[wcol]
+            lang = np.where(thr > conf, UND, wcol)
+            score = conf
+        lang = np.where(valid, lang, ZXX)
+        score = np.where(valid, score, PENALTY).astype(np.float32)
+        raw = np.where(valid, raw, PENALTY).astype(np.float32)
+        return lang, score, raw
+
+    # ---------------------------------------------------------- public API
+
+    def identify_batch(self, texts, ignore_confidence: bool = False):
+        """→ (lang codes object[n], score f32[n], raw f32[n], cjk_pct f32[n])."""
+        points, valid, cjk_pct = self.score_batch(list(texts))
+        lang, score, raw = self.pick_winner_batch(
+            points, valid, self.model.confidence, ignore_confidence
+        )
+        return LANGS_ARR[lang], score, raw, cjk_pct
+
+    def identify(self, text: str, ignore_confidence: bool = False):
+        """Single-text (lang, score) — mirrors Identifier::identify."""
+        labels, scores, _, _ = self.identify_batch([text], ignore_confidence)
+        return str(labels[0]), float(scores[0])
+
+    def identify_topk(self, text: str, k: int):
+        """C6: top-k (collapsed lang, raw score); no confidence applied."""
+        points, valid, _ = self.score_batch([text])
+        if not valid[0]:
+            return [("zxx", float(PENALTY))]
+        p = points[0]
+        order = np.argsort(p, kind="stable")  # ties keep enum order
+        out = []
+        seen = set()
+        for i in order:
+            c = int(COLLAPSE[i])
+            if c in seen:
+                continue
+            seen.add(c)
+            out.append((str(LANGS_ARR[c]), float(p[i])))
+            if len(out) >= k:
+                break
+        return out

@@ -1,0 +1,147 @@
+"""Model artifact layout, vectorized gram hashing, and per-process loading.
+
+The reference ships its model as bitcode-serialized WyHash hashmaps
+(``/root/reference/heliport-model/src/languagemodel.rs:36-40,179-202``). We
+re-materialize the same logical content — per n-gram-order inverted indexes
+``gram -> [(lang, -log10 prob), ...]`` — as *sorted numpy arrays* designed for
+Spark executors:
+
+* ``order{t}.keys.npy``   sorted uint64 gram hashes
+* ``order{t}.offsets.npy``uint64[n+1] posting offsets
+* ``order{t}.plang.npy``  uint8 posting language ids (reference enum order)
+* ``order{t}.pprob.npy``  float32 posting -log10 probabilities
+* ``confidence.npy``      float32[242] per-collapsed-lang thresholds
+* ``keep_table.npy`` / ``cjk_table.npy``  codepoint tables (chartables.py)
+* ``meta.json``           frozen lang list + provenance
+
+Rationale (100 TB scale): the arrays are loaded with ``np.load(mmap_mode="r")``
+so all Python workers on an executor share one page-cached copy; lookups are
+``np.searchsorted`` over the whole batch — no Python dict, no per-row work.
+Batch lookup of k grams costs O(k log n) fully inside numpy.
+
+Hashing: FNV-1a over UTF-32 codepoints with a splitmix64 finalizer,
+vectorized column-wise with a length mask so a gram hashes identically
+regardless of batch padding width. Collision-freedom among model grams is
+*verified at compile time* (model_compile.py); a query-side false positive
+requires a 64-bit collision against the ~12M model keys (p ≈ 6e-13 per gram).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .langs import LANGS, N_LANGS
+
+N_ORDERS = 7  # word, unigram..hexagram (languagemodel.rs:26-34)
+ORDER_NAMES = ("word", "unigram", "bigram", "trigram", "quadgram", "quingram", "hexagram")
+PENALTY = np.float32(7.0)  # identifier.rs:37
+MAX_USED = 0.0000005       # relative-frequency pruning threshold (languagemodel.rs:44)
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_SM1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM2 = np.uint64(0x94D049BB133111EB)
+
+DEFAULT_MODEL_DIR = Path(__file__).resolve().parent.parent / "models" / "heli"
+
+
+def hash_grams(grams: "list[str] | np.ndarray") -> np.ndarray:
+    """Vectorized 64-bit hash of unicode grams; padding-width independent."""
+    if not isinstance(grams, np.ndarray):
+        grams = np.asarray(grams, dtype="U")
+    elif grams.dtype.kind != "U":
+        grams = grams.astype("U")
+    n = grams.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    width = grams.dtype.itemsize // 4
+    cp = np.ascontiguousarray(grams).view(np.uint32).reshape(n, width)
+    # per-gram char length = index of last nonzero column + 1
+    nz = cp != 0
+    lens = width - np.argmax(nz[:, ::-1], axis=1)
+    lens[~nz.any(axis=1)] = 0
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            active = lens > j
+            if not active.any():
+                break
+            hj = (h ^ cp[:, j].astype(np.uint64)) * _FNV_PRIME
+            h = np.where(active, hj, h)
+        # splitmix64 finalizer for avalanche
+        h = (h ^ (h >> np.uint64(30))) * _SM1
+        h = (h ^ (h >> np.uint64(27))) * _SM2
+        h = h ^ (h >> np.uint64(31))
+    return h
+
+
+class OrderTable:
+    """One n-gram order: sorted hash keys + posting lists."""
+
+    __slots__ = ("keys", "offsets", "plang", "pprob", "padj")
+
+    def __init__(self, keys, offsets, plang, pprob):
+        self.keys = keys
+        self.offsets = offsets
+        self.plang = plang
+        self.pprob = pprob
+        # adj = prob - PENALTY: lets the fast path express a found gram's
+        # dense contribution as (PENALTY everywhere + adj at posting langs).
+        self.padj = (np.asarray(pprob) - PENALTY).astype(np.float32)
+
+    def lookup(self, hashes: np.ndarray) -> np.ndarray:
+        """Return index into keys for each hash, or -1 if absent."""
+        idx = np.searchsorted(self.keys, hashes)
+        idx[idx >= len(self.keys)] = len(self.keys) - 1 if len(self.keys) else 0
+        if len(self.keys) == 0:
+            return np.full(len(hashes), -1, dtype=np.int64)
+        found = self.keys[idx] == hashes
+        return np.where(found, idx, -1)
+
+
+class HeliModel:
+    """Loaded model artifact (per-process; mmap-shared across workers)."""
+
+    def __init__(self, model_dir: "str | os.PathLike" = DEFAULT_MODEL_DIR):
+        d = Path(model_dir)
+        if not (d / "meta.json").exists():
+            raise FileNotFoundError(
+                f"model artifact not found at {d}; run "
+                "`python -m heliport_spark compile-model` first"
+            )
+        self.dir = d
+        meta = json.loads((d / "meta.json").read_text())
+        if tuple(meta["langs"]) != LANGS:
+            raise ValueError("model artifact language table mismatch")
+        self.meta = meta
+        self.orders: list[OrderTable] = []
+        for t in range(N_ORDERS):
+            self.orders.append(
+                OrderTable(
+                    np.load(d / f"order{t}.keys.npy", mmap_mode="r"),
+                    np.load(d / f"order{t}.offsets.npy", mmap_mode="r"),
+                    np.load(d / f"order{t}.plang.npy", mmap_mode="r"),
+                    np.load(d / f"order{t}.pprob.npy", mmap_mode="r"),
+                )
+            )
+        self.confidence = np.load(d / "confidence.npy")
+        assert self.confidence.shape == (N_LANGS,)
+        self.keep_table = np.load(d / "keep_table.npy", mmap_mode="r")
+        self.cjk_table = np.load(d / "cjk_table.npy", mmap_mode="r")
+
+
+_MODEL_CACHE: dict[str, HeliModel] = {}
+
+
+def get_model(model_dir: "str | os.PathLike" = DEFAULT_MODEL_DIR) -> HeliModel:
+    """Process-wide model singleton (mirrors python.rs:68-87's LazyLock)."""
+    key = str(model_dir)
+    m = _MODEL_CACHE.get(key)
+    if m is None:
+        m = HeliModel(model_dir)
+        _MODEL_CACHE[key] = m
+    return m
