@@ -1,0 +1,98 @@
+"""Text-analysis expressions: quality ratios, token counting, fingerprints.
+
+All pure Catalyst (``pyspark.sql.functions``) — JVM-side, codegen'd,
+pushdown-friendly. These power the heuristic rule operator (D5) and the
+training-data text-analysis suite (language-agnostic quality scoring, token
+counts, document fingerprinting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English stopword list for the stopword-ratio quality signal.
+STOPWORDS: "tuple[str, ...]" = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "as", "with", "was", "are", "be", "this", "at", "by",
+)
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def n_chars(c: Column) -> Column:
+    return F.length(c)
+
+
+def n_tokens(c: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def n_bpe_tokens(c: Column) -> Column:
+    """BPE-ish subword-proxy count via the token regex."""
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN))
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(c: Column) -> Column:
+    return _ratio(F.regexp_count(c, F.lit(r"\p{L}")), F.length(c))
+
+
+def digit_ratio(c: Column) -> Column:
+    return _ratio(F.regexp_count(c, F.lit(r"[0-9]")), F.length(c))
+
+
+def punct_ratio(c: Column) -> Column:
+    return _ratio(F.regexp_count(c, F.lit(r"[\.,;:!\?\-'\"()\[\]{}]")), F.length(c))
+
+
+def upper_ratio(c: Column) -> Column:
+    return _ratio(F.regexp_count(c, F.lit(r"[A-Z]")), F.length(c))
+
+
+def stopword_ratio(c: Column) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords."""
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    sw = F.array([F.lit(w) for w in STOPWORDS])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return _ratio(hits, n_tokens(c))
+
+
+def mean_word_len(c: Column) -> Column:
+    return _ratio(F.length(F.regexp_replace(c, r"\s+", "")), n_tokens(c))
+
+
+def repetition_ratio(c: Column, max_run: int = 3) -> Column:
+    """1 if the text contains a word immediately repeated > max_run times
+    (Java-regex backreference — pipeline-only, not oracle-portable)."""
+    pat = r"(?i)\b(\S+)(\s+\1){%d,}\b" % max_run
+    return (F.regexp_count(c, F.lit(pat)) > 0).cast("int")
+
+
+def fingerprint(c: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized,
+    lowercased text (portable to the DuckDB oracle)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def fingerprint_sql(col: str) -> str:
+    return f"md5(lower(regexp_replace(trim({col}), '\\s+', ' ', 'g')))"
+
+
+def quality_struct(c: Column) -> Column:
+    """Bundle the scalar quality signals into one struct column."""
+    return F.struct(
+        n_chars(c).alias("n_chars"),
+        n_tokens(c).alias("n_tokens"),
+        alpha_ratio(c).alias("alpha_ratio"),
+        digit_ratio(c).alias("digit_ratio"),
+        punct_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        mean_word_len(c).alias("mean_word_len"),
+    )

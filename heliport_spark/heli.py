@@ -348,6 +348,70 @@ class Scorer:
         labels, scores, _, _ = self.identify_batch([text], ignore_confidence)
         return str(labels[0]), float(scores[0])
 
+    def ft_identify_batch(self, texts):
+        """fastText-style cross-check (SURVEY.md §2.6 D3): hashed char-4-gram
+        bag → linear scores → softmax probability.
+
+        A deliberately *different* classifier from HeLI: no back-off cascade,
+        single fixed order, bag-of-hashed-ngrams linear model whose weights
+        are the compiled quadgram table (analytically set, no SGD — the
+        sandbox has no fasttext binary; this is a from-scratch stand-in).
+        Disagreement with the HeLI label is surfaced as a rule flag only —
+        it never overrides the HeLI decision (F1-parity requirement).
+
+        Returns (ft_lang object[n], ft_prob f32[n]).
+        """
+        t = 4
+        ot = self.model.orders[t]
+        memo = self._memo_ft if hasattr(self, "_memo_ft") else {}
+        self._memo_ft = memo
+        n = len(texts)
+        points = np.zeros((n, N_LANGS), dtype=np.float32)
+        counts = np.zeros(n, dtype=np.int64)
+        for i, text in enumerate(texts):
+            toks, _ = self.preprocess(text if isinstance(text, str) else "")
+            if not toks:
+                continue
+            acc = np.zeros(N_LANGS, dtype=np.float32)
+            k_total = 0
+            for w in toks:
+                e = memo.get(w)
+                if e is None:
+                    grams = _shingles(f" {w} ", t)
+                    if grams:
+                        gidx = ot.lookup(hash_grams(grams))
+                        fi = gidx[gidx >= 0]
+                        k = len(fi)
+                        if k:
+                            v = np.zeros(N_LANGS, dtype=np.float32)
+                            off = ot.offsets
+                            for j in fi:
+                                s, en = int(off[j]), int(off[j + 1])
+                                np.add.at(v, ot.plang[s:en].astype(np.int64), ot.padj[s:en])
+                            v += PENALTY * np.float32(k)
+                            e = (v, k)
+                        else:
+                            e = (None, 0)
+                    else:
+                        e = (None, 0)
+                    memo[w] = e
+                if e[1]:
+                    acc += e[0]
+                    k_total += e[1]
+            if k_total:
+                points[i] = acc / np.float32(k_total)
+                counts[i] = k_total
+        valid = counts > 0
+        wi = np.argmin(points, axis=1)
+        # softmax over 10^(-points): p = 10^-x_w / Σ 10^-x
+        with np.errstate(over="ignore", under="ignore"):
+            expd = np.power(np.float64(10.0), -points.astype(np.float64))
+            denom = expd.sum(axis=1)
+            prob = expd[np.arange(n), wi] / np.where(denom > 0, denom, 1.0)
+        lang_idx = np.where(valid, _COLLAPSE_I[wi], ZXX)
+        prob = np.where(valid, prob, 0.0).astype(np.float32)
+        return LANGS_ARR[lang_idx], prob
+
     def identify_topk(self, text: str, k: int):
         """C6: top-k (collapsed lang, raw score); no confidence applied."""
         points, valid, _ = self.score_batch([text])

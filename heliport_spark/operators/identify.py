@@ -1,0 +1,152 @@
+"""Distributed language identification: DataFrame -> DataFrame.
+
+The Spark twin of the reference's batched parallel driver loop
+(``/root/reference/src/cli/identify.rs:177-200`` + ``par_identify``,
+``src/identifier.rs:333-359``): Spark tasks replace rayon threads, Arrow
+record batches replace the 100k-line chunks, and a per-Python-worker
+``Scorer`` (mmap-shared model, persistent distinct-word memo) replaces the
+thread-local Identifier clones sharing an ``Arc<Model>``.
+
+Design notes for 100 TB:
+* one ``mapInPandas`` stage — no shuffle is introduced; upstream filters and
+  column pruning stay pushed down to the scan because we select only the
+  columns we need and re-join nothing.
+* the model is NOT a Spark broadcast variable: broadcasting 158 MB through
+  the JVM would copy it per-worker; instead every Python worker mmaps the
+  same artifact files (``HELIPORT_MODEL_DIR`` or a cluster-shared path /
+  ``SparkFiles`` archive), so resident cost is one page-cached copy per host.
+* ``spark.python.worker.reuse=true`` keeps the word memo warm across tasks.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import FloatType, StringType, StructField, StructType
+
+from ..model import DEFAULT_MODEL_DIR
+
+_WORKER_SCORERS: dict = {}
+
+
+def _get_worker_scorer(model_dir: str, exact: bool):
+    """Per-process scorer singleton (survives across tasks via worker reuse)."""
+    key = (model_dir, exact)
+    sc = _WORKER_SCORERS.get(key)
+    if sc is None:
+        from ..heli import Scorer
+        from ..model import get_model
+
+        sc = Scorer(get_model(model_dir), exact=exact)
+        _WORKER_SCORERS[key] = sc
+    return sc
+
+
+def resolve_model_dir(model_dir: "str | None" = None) -> str:
+    return str(model_dir or os.environ.get("HELIPORT_MODEL_DIR") or DEFAULT_MODEL_DIR)
+
+
+def identify_df(
+    df: DataFrame,
+    text_col: str = "transcript",
+    ignore_confidence: bool = False,
+    model_dir: "str | None" = None,
+    exact: bool = False,
+    with_ft: bool = False,
+    prefix: str = "",
+) -> DataFrame:
+    """Append langid columns: ``lang``, ``score``, ``raw_score``, ``cjk_pct``
+    (+ ``ft_lang``, ``ft_prob`` when ``with_ft``).
+
+    ``score`` follows the reference CLI semantics
+    (/root/reference/src/cli/identify.rs:43-46): confidence margin when
+    thresholds are applied, raw HeLI score when ``ignore_confidence``.
+    """
+    mdir = resolve_model_dir(model_dir)
+    new_fields = [
+        StructField(prefix + "lang", StringType()),
+        StructField(prefix + "score", FloatType()),
+        StructField(prefix + "raw_score", FloatType()),
+        StructField(prefix + "cjk_pct", FloatType()),
+    ]
+    if with_ft:
+        new_fields += [
+            StructField(prefix + "ft_lang", StringType()),
+            StructField(prefix + "ft_prob", FloatType()),
+        ]
+    out_schema = StructType(list(df.schema.fields) + new_fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = _get_worker_scorer(mdir, exact)
+        for pdf in batches:
+            texts = ["" if t is None else str(t) for t in pdf[text_col]]
+            labels, score, raw, cjk = scorer.identify_batch(texts, ignore_confidence)
+            pdf = pdf.copy(deep=False)
+            pdf[prefix + "lang"] = labels
+            pdf[prefix + "score"] = score
+            pdf[prefix + "raw_score"] = raw
+            pdf[prefix + "cjk_pct"] = cjk
+            if with_ft:
+                ft_lang, ft_prob = scorer.ft_identify_batch(texts)
+                pdf[prefix + "ft_lang"] = ft_lang
+                pdf[prefix + "ft_prob"] = ft_prob
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def identify_topk_df(
+    df: DataFrame,
+    text_col: str = "transcript",
+    k: int = 3,
+    model_dir: "str | None" = None,
+) -> DataFrame:
+    """Append ``topk: array<struct<lang:string, score:float>>`` (C6 semantics:
+    raw scores ascending, macrolang-collapsed, no confidence)."""
+    from pyspark.sql.types import ArrayType
+
+    mdir = resolve_model_dir(model_dir)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(
+                "topk",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("lang", StringType()),
+                            StructField("score", FloatType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = _get_worker_scorer(mdir, False)
+        for pdf in batches:
+            col = [
+                scorer.identify_topk("" if t is None else str(t), k)
+                for t in pdf[text_col]
+            ]
+            pdf = pdf.copy(deep=False)
+            pdf["topk"] = col
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def format_cli_output(df: DataFrame, precision: int = 4,
+                      print_scores: bool = True) -> DataFrame:
+    """CLI-parity line formatting: ``lang\\tscore`` at fixed precision
+    (print_result, /root/reference/src/cli/identify.rs:217-226)."""
+    if print_scores:
+        return df.select(
+            F.format_string(f"%s\t%.{precision}f", F.col("lang"), F.col("score")).alias("value")
+        )
+    return df.select(F.col("lang").alias("value"))

@@ -1,0 +1,56 @@
+"""Spark session construction + plan-inspection helpers.
+
+Scale posture (tuned for the 100 TB / 1000-executor target, tested on
+local[N]): AQE on (runtime re-plan + skew-join splitting), Arrow transfer for
+all pandas UDFs with bounded batch size (the reference processes 100k-line
+batches, /root/reference/src/cli/identify.rs:190; we bound Arrow batches to
+10k rows so per-batch score matrices stay small), broadcast threshold sized
+for dimension tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 10_000
+
+
+def get_spark(
+    app_name: str = "heliport_spark",
+    master: "str | None" = None,
+    shuffle_partitions: "int | None" = None,
+    extra_conf: "dict | None" = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's scale posture."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 32)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def explain_str(df) -> str:
+    """Formatted physical plan as a string (for plan assertions in tests)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )

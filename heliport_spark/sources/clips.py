@@ -1,0 +1,141 @@
+"""Synthetic ``clips`` table generation (FIXTURES.md F1) + golden corpus rows.
+
+Deterministic (seed derived from row id, no wall clock): audio is
+``0.3·sin(2π·440·t) + 0.05·noise`` quantized to PCM s16le, so decode →
+re-encode is bit-exact and the SNR≥30dB passthrough assertion is meaningful.
+
+Schema (BASELINE.json input_hint):
+  clips(clip_id string, bytes binary, sr_hz int, dur_ms int,
+        codec string, transcript string)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CLIPS_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("bytes", BinaryType()),
+        StructField("sr_hz", IntegerType()),
+        StructField("dur_ms", IntegerType()),
+        StructField("codec", StringType()),
+        StructField("transcript", StringType()),
+    ]
+)
+
+# The reference's 13-sentence golden corpus (identifier.rs:384-398) with its
+# expected HeLI predictions (identifier.rs:400-414) — used to salt synthetic
+# clips with rows whose labels are known exactly.
+GOLDEN_SENTS: "tuple[str, ...]" = (
+    "L'aigua clara",
+    "Hola, ¿qué tal?",
+    "Korvausinvestoinnit on otettu huomioon liiketoimintasuunnitelmassa rahoituskuluina ja poistoina.",
+    "而目前各方都在追问到底谁应该为这场大疫情在中国的扩散承担责任。",
+    "Pēc nejaušās izvēles izraudzītas sešas vistas no vielas saņemšanas grupas un sešas vistas no nesēja kontroles grupas, un trīs vistas no pozitīvās kontroles grupas (ja šo grupu pēta paralēli) jānogalina dažas dienas pēc dozēšanas, un galvas smadzenes un muguras smadzenes jāsagatavo un jāanalizē, lai noteiktu ar neiropātiju saistītās esterāzes kavēšanas aktivitāti.",
+    "وتؤكد رومانيا على التزامها بمواصلة تنفيذ أحكام جدول أعمال الموئل والمشاركة في التعاون الدولي في هذا المجال الدينامي ، وبالتالي زيادة الاستفادة من الدعم والمساعدة المقدمة في تنفيذ برامجها الوطنية.",
+    'Namoota duʼaa kaafaman keessaa hedduun isaanii "jalʼoota," jechuunis namoota dhugaa waaʼee Waaqa keenya Yihowaa fi Ilma isaa dubbatu utuu hin baratin duʼani dha.',
+    "DOKUMENT INFORMACYJNY NR [...]",
+    "In afwijking van de verplichting van sectie IX, hoofdstuk II, punt III.1.a), van bijlage III van Verordening (EG) nr. 853 / 2004 is het maximale kiemgetal voor rauwe koemelk slechts van toepassing indien deze melk warmtebehandeld moet worden en niet zodanig behandeld is binnen de termijn voor aanvaarding die bepaald is in de door de exploitanten van levensmiddelenbedrijven ingevoerde, op HACCP gebaseerde procedures.",
+    "Batangiye gushyiraho imihati myinshi no kumara igihe kinini bakurikirana inyungu z'iby'umwuka, ari na ko bakora uko bashoboye ngo begere Yehova.",
+    'The Encyclopedia of Religion gir flere opplysninger: "Dens visjon av en menneskehet som hadde behov for Kristi evangelium, talte for igangsettelse og rask utvidelse av misjonsvirksomheten, både utenlands og innenlands."',
+    "Kui lõike 5 alusel vastu võetud tehnilistest rakendusmeetmetest ei tulene teisiti, võivad pädevad riigiasutused võtta vastu suuniseid ja vajaduse korral anda juhiseid selle kohta, millistel asjaoludel peab teenuseosutaja teatama isikuandmetega seotud rikkumisest ning millises vormis ja mil viisil seda tuleb teha.",
+    "મજાક તરીકે @K.",
+)
+GOLDEN_LABELS: "tuple[tuple[str, float], ...]" = (
+    ("cat", 1.5613), ("spa", 0.2340), ("fin", 1.8580), ("cmn", 2.5705),
+    ("lav", 2.2733), ("ara", 2.6973), ("gaz", 3.3978), ("pol", 0.3492),
+    ("nld", 0.7148), ("tso", 0.2414), ("nob", 0.9093), ("est", 2.6729),
+    ("und", 0.6115),
+)
+
+# Adversarial rows: scrub targets, empties, repetition, CJK mix.
+ADVERSARIAL_SENTS: "tuple[str, ...]" = (
+    "",
+    "!!! ??? 123 ...",
+    "contact me at john.doe@example.com or +1 (555) 123-4567 now",
+    "visit https://example.com/signup?ref=abc and follow @john_doe",
+    "my ssn is 123-45-6789 ok",
+    "spam spam spam spam spam spam spam spam",
+    "你好世界 hello 你好世界你好世界你好世界你好世界",
+    "this badword sentence has a slurword in it",
+)
+
+
+def synth_pcm(row_id: int, sr_hz: int = 16000, dur_ms: "int | None" = None) -> bytes:
+    """Deterministic PCM s16le for a row id (sine + noise, FIXTURES.md F1)."""
+    rng = np.random.default_rng(42 + (row_id % (2**31)))
+    if dur_ms is None:
+        dur_ms = int(200 + (row_id * 37) % 800)
+    n = sr_hz * dur_ms // 1000
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    wave = 0.3 * np.sin(2 * np.pi * 440.0 * t) + 0.05 * rng.standard_normal(n)
+    q = np.clip(np.rint(wave * 32768.0), -32768, 32767).astype("<i2")
+    return q.tobytes()
+
+
+def clips_from_documents(spark: SparkSession, sf_dir: str,
+                         with_golden: bool = True) -> DataFrame:
+    """Derive a deterministic clips table from the driver's ``documents``
+    parquet: transcript = documents.text (+ the golden/adversarial corpus
+    appended), PCM synthesized per row. Distributed via mapInPandas — no
+    driver-side materialization."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "clip_id": [f"clip-{int(d):012d}" for d in pdf["doc_id"]],
+                    "transcript": pdf["text"].astype(object),
+                }
+            )
+            srs, bs, dms = [], [], []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                sr = 8000 if d % 17 == 0 else (22050 if d % 23 == 0 else 16000)
+                # duration tracks transcript length (~15 chars/s speech rate)
+                # so the rate-anomaly rule only fires on deliberate outliers
+                nchars = len(txt) if isinstance(txt, str) else 0
+                dur = max(200, min(60_000, int(nchars * 1000 / 15)))
+                if d % 97 == 0:  # deliberate rate outliers
+                    dur = 100_000 if d % 2 == 0 else 200
+                raw = synth_pcm(d, sr, dur_ms=dur)
+                srs.append(sr)
+                bs.append(raw)
+                dms.append(len(raw) // 2 * 1000 // sr)
+            out["bytes"] = bs
+            out["sr_hz"] = np.asarray(srs, np.int32)
+            out["dur_ms"] = np.asarray(dms, np.int32)
+            out["codec"] = "pcm_s16le"
+            yield out[["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]]
+
+    df = docs.mapInPandas(synth, schema=CLIPS_SCHEMA)
+    if with_golden:
+        extra = golden_clips(spark, start_id=10_000_000)
+        df = df.unionByName(extra)
+    return df
+
+
+def golden_clips(spark: SparkSession, start_id: int = 0) -> DataFrame:
+    """Small driver-side DataFrame of the golden + adversarial corpus."""
+    rows = []
+    sents = list(GOLDEN_SENTS) + list(ADVERSARIAL_SENTS)
+    for i, s in enumerate(sents):
+        rid = start_id + i
+        dur = max(200, min(60_000, int(len(s) * 1000 / 15)))
+        raw = synth_pcm(rid, dur_ms=dur)
+        rows.append(
+            (f"clip-{rid:012d}", raw, 16000, len(raw) // 2 * 1000 // 16000,
+             "pcm_s16le", s)
+        )
+    return spark.createDataFrame(rows, schema=CLIPS_SCHEMA)

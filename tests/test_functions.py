@@ -1,0 +1,100 @@
+"""Catalyst function modules: scrub chain, text quality, audio helpers."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from heliport_spark.functions import text as T
+from heliport_spark.functions.audio import (
+    decode_compressed_audio,
+    decode_pcm_s16le,
+    encode_pcm_s16le,
+    mel_features,
+    sample_video_frames,
+    snr_db,
+)
+from heliport_spark.functions.scrub import SCRUB_TOKEN, scrub_expr
+
+
+def _one(spark, text, cols):
+    df = spark.createDataFrame([(text,)], ["t"])
+    return df.select(*cols).collect()[0]
+
+
+def test_scrub_patterns(spark):
+    scrubbed, spans = scrub_expr("t")
+    r = _one(
+        spark,
+        "mail a@b.com, call +1 (555) 123-4567, ssn 123-45-6789, "
+        "see https://x.io/p?q=1, ping @someone, you badword",
+        [scrubbed.alias("s"), spans.alias("n")],
+    )
+    assert "a@b.com" not in r["s"]
+    assert "555" not in r["s"]
+    assert "123-45-6789" not in r["s"]
+    assert "https://" not in r["s"]
+    assert "@someone" not in r["s"]
+    assert "badword" not in r["s"]
+    assert r["s"].count(SCRUB_TOKEN) == r["n"] == 6
+
+
+def test_scrub_clean_text_untouched(spark):
+    scrubbed, spans = scrub_expr("t")
+    r = _one(spark, "a plain sentence with no pii at all",
+             [scrubbed.alias("s"), spans.alias("n")])
+    assert r["s"] == "a plain sentence with no pii at all"
+    assert r["n"] == 0
+
+
+def test_text_ratios(spark):
+    c = F.col("t")
+    r = _one(
+        spark,
+        "The cat sat on the mat 42 times!",
+        [
+            T.n_tokens(c).alias("nt"),
+            T.n_chars(c).alias("nc"),
+            T.digit_ratio(c).alias("dr"),
+            T.stopword_ratio(c).alias("sr"),
+            T.fingerprint(c).alias("fp"),
+        ],
+    )
+    assert r["nt"] == 8
+    assert r["nc"] == 32
+    assert 0.0 < r["dr"] < 0.1
+    assert r["sr"] == pytest.approx(3 / 8)  # 'The', 'on', 'the'
+    assert len(r["fp"]) == 32
+
+
+def test_stopword_on(spark):
+    c = F.col("t")
+    r = _one(spark, "the on a", [T.stopword_ratio(c).alias("sr")])
+    assert r["sr"] == pytest.approx(1.0)
+
+
+def test_repetition_flag(spark):
+    c = F.col("t")
+    r = _one(spark, "go go go go go now", [T.repetition_ratio(c).alias("rr")])
+    assert r["rr"] == 1
+    r2 = _one(spark, "well well, fine", [T.repetition_ratio(c).alias("rr")])
+    assert r2["rr"] == 0
+
+
+def test_pcm_roundtrip():
+    rng = np.random.default_rng(3)
+    w = (rng.uniform(-1, 1, 4000) * 0.8).astype(np.float32)
+    raw = encode_pcm_s16le(w)
+    w2 = decode_pcm_s16le(raw)
+    assert snr_db(w, w2) > 30.0
+    assert encode_pcm_s16le(w2) == raw  # fixpoint after first quantization
+
+
+def test_multimodal_stubs():
+    with pytest.raises(NotImplementedError):
+        decode_compressed_audio(b"\x00", "opus")
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(b"\x00")
+    m = mel_features(np.zeros(1600, dtype=np.float32), 16000)
+    assert m.shape == (10, 80) and m.dtype == np.float32
+    m2 = mel_features(np.zeros(1600, dtype=np.float32), 16000)
+    np.testing.assert_array_equal(m, m2)  # deterministic fake

@@ -1,0 +1,70 @@
+"""Scorer-internal invariants: fast ≡ exact, memo behavior, hashing."""
+
+import numpy as np
+
+from heliport_spark.heli import Scorer
+from heliport_spark.model import hash_grams
+from heliport_spark.sources.clips import ADVERSARIAL_SENTS, GOLDEN_SENTS
+
+
+def _mixed_corpus():
+    texts = list(GOLDEN_SENTS) + list(ADVERSARIAL_SENTS)
+    # perturbations: word swaps and truncations (deterministic)
+    rng = np.random.default_rng(7)
+    for s in GOLDEN_SENTS:
+        words = s.split()
+        if len(words) > 3:
+            texts.append(" ".join(rng.permutation(words)))
+            texts.append(" ".join(words[: max(1, len(words) // 2)]))
+    return texts
+
+
+def test_fast_matches_exact_labels(exact_scorer, fast_scorer):
+    texts = _mixed_corpus()
+    le, se, re_, _ = exact_scorer.identify_batch(texts)
+    lf, sf, rf, _ = fast_scorer.identify_batch(texts)
+    assert list(le) == list(lf)
+    # scores agree to 4 decimals (the reference's own precision bar)
+    np.testing.assert_allclose(se, sf, atol=5e-5)
+
+
+def test_batch_matches_single(fast_scorer):
+    texts = _mixed_corpus()[:10]
+    labels, scores, _, _ = fast_scorer.identify_batch(texts)
+    for t, l, s in zip(texts, labels, scores):
+        l1, s1 = fast_scorer.identify(t)
+        assert l1 == l
+        assert abs(s1 - s) < 1e-6
+
+
+def test_memo_stable_across_batches(fast_scorer):
+    t = "Hola, ¿qué tal?"
+    l1, s1 = fast_scorer.identify(t)
+    for _ in range(3):
+        l2, s2 = fast_scorer.identify(t)
+        assert (l2, s2) == (l1, s1)
+
+
+def test_hash_padding_independence():
+    # same gram must hash identically regardless of batch max-width padding
+    h1 = hash_grams(["ab", "xylophone"])
+    h2 = hash_grams(["ab"])
+    h3 = hash_grams(np.array(["ab", "a" * 50]))
+    assert h1[0] == h2[0] == h3[0]
+    assert len({int(h) for h in hash_grams(["a", "b", "ab", "ba", "aa"])}) == 5
+
+
+def test_preprocess_cjk_split(fast_scorer):
+    toks, cjk_pct = fast_scorer.preprocess("abc你好def")
+    assert toks == ["abc", "你好", "def"]
+    assert 0.2 < cjk_pct < 0.4  # 2 of 9 non-space chars... 2/9
+    toks2, _ = fast_scorer.preprocess("Hello,   World!")
+    assert toks2 == ["hello", "world"]
+
+
+def test_ft_cross_check(fast_scorer):
+    labels, probs = fast_scorer.ft_identify_batch(
+        ["the quick brown fox jumps over the lazy dog", ""]
+    )
+    assert labels[1] == "zxx" and probs[1] == 0.0
+    assert 0.0 <= probs[0] <= 1.0
