@@ -1,38 +1,611 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full audio quality-filter pipeline over a
+clips table derived from sf0.001 documents (langid + perplexity + rules +
+scrub + keep decision), per BASELINE.json north_star.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+(SURVEY.md §2): relational (joins/aggs/windows), training ops T1-T7, text
+quality, scrub, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding), similarity search, and the langid operators (rows-only where
+genuinely not SQL-expressible).
+
+All hash primitives in oracle-checked queries are md5-derived so Spark and
+DuckDB agree bit-for-bit; float aggregates are rounded to fixed precision.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: quality-filter pipeline on clips derived from sf0.001."""
+    from heliport_spark.pipeline import quality_filter
+    from heliport_spark.sources.clips import clips_from_documents
+
+    clips = clips_from_documents(spark, "/root/testdata/sf0.001")
+    out = quality_filter(clips)
+    # stable projection (drop the binary payload for the smoke check)
+    return out.select(
+        "clip_id", "transcript", "lang", "confidence", "keep",
+        "scrubbed_text", "quality.heli_score", "quality.ppl",
+        "quality.scrub_spans", "quality.cjk_pct",
+    )
+
+
+# ------------------------------------------------------------------- queries
+
+def _q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q3_top_orders(spark, sf):
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _region_revenue(spark, sf):
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _top_order_per_customer(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("top_price"),
+        )
+    )
+
+
+def _supplier_balance(spark, sf):
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+def _parts_by_brand(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+def _events_sessions(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))  # NTZ → epoch ms
+    gap = ms - F.lag(ms).over(w)
+    return (
+        e.withColumn("new_session", F.when(gap > 1_800_000, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            (F.sum("new_session") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def _doc_quality(spark, sf):
+    from heliport_spark.functions import text as T
+
+    d = _t(spark, sf, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        T.n_chars(c).alias("len_chars"),
+        T.n_tokens(c).alias("n_tokens"),
+        F.round(T.digit_ratio(c), 6).alias("digit_ratio"),
+        F.round(T.alpha_ratio(c), 6).alias("alpha_ratio"),
+        F.round(T.stopword_ratio(c), 6).alias("stopword_ratio"),
+        T.fingerprint(c).alias("fp"),
+    )
+
+
+def _word_counts(spark, sf):
+    from heliport_spark.operators.train import count_words
+
+    d = _t(spark, sf, "documents")
+    return (
+        count_words(d, "text")
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(100)
+    )
+
+
+def _char_trigrams(spark, sf):
+    from heliport_spark.operators.train import count_char_ngrams
+
+    d = _t(spark, sf, "documents")
+    return (
+        count_char_ngrams(d, 3, "text")
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(100)
+    )
+
+
+def _ngram_probs(spark, sf):
+    from heliport_spark.operators.train import count_words, prune_and_probs
+
+    d = _t(spark, sf, "documents")
+    counts = count_words(d, "text", group_cols=["lang"])
+    probs = prune_and_probs(counts, ["lang"])
+    return probs.select(
+        "lang", "gram", "cnt", F.round("prob", 6).alias("prob")
+    )
+
+
+def _posting_lists(spark, sf):
+    from heliport_spark.operators.train import count_words, posting_lists
+
+    d = _t(spark, sf, "documents")
+    counts = count_words(d, "text", group_cols=["lang"]).select("lang", "gram").distinct()
+    return posting_lists(counts).filter(F.col("n_langs") > 1)
+
+
+def _scrub_stats(spark, sf):
+    from heliport_spark.functions.scrub import scrub_expr
+
+    d = _t(spark, sf, "documents")
+    _, spans = scrub_expr("text")
+    return (
+        d.withColumn("spans", spans)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("spans").alias("total_spans"),
+            F.sum(F.when(F.col("spans") > 0, 1).otherwise(0)).alias("docs_with_pii"),
+        )
+    )
+
+
+def _keep_drop_rules(spark, sf):
+    from heliport_spark.functions import text as T
+
+    d = _t(spark, sf, "documents")
+    c = F.col("text")
+    keep = (
+        (T.n_chars(c) >= 2)
+        & (T.n_chars(c) <= 20000)
+        & (T.digit_ratio(c) <= 0.3)
+        & (T.alpha_ratio(c) >= 0.4)
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("int")).alias("n_keep"),
+    )
+
+
+def _dedup_exact(spark, sf):
+    from heliport_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def _dedup_minhash_lsh(spark, sf):
+    from heliport_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf, "documents"))
+
+
+def _dedup_ngram_jaccard(spark, sf):
+    from heliport_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+    cands = minhash_lsh_candidates(d)
+    return ngram_jaccard_pairs(d, candidates=cands, threshold=0.3)
+
+
+def _simhash(spark, sf):
+    from heliport_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf, "documents"))
+
+
+def _ann_bruteforce(spark, sf):
+    from heliport_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return brute_force_topk(e, q, k=5)
+
+
+def _embedding_neardup(spark, sf):
+    """Exhaustive variant (oracle-checked); the LSH-bucketed variant is the
+    scale path and is checked rows-only (recall < 1 by construction)."""
+    from heliport_spark.operators.similarity import cosine_expr
+
+    e = _t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_expr(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= 0.4)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+# ------- langid / pipeline operators (genuinely not ANSI-SQL-expressible) ---
+
+def _heli_identify_docs(spark, sf):
+    from heliport_spark.operators.identify import identify_df
+
+    # documents is one small parquet file = one input split; spread the
+    # CPU-heavy scoring stage across cores (at 100 TB the scan has thousands
+    # of splits and this repartition is unnecessary — keyed on id, not data
+    # size, it stays harmless)
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf, "documents").select("doc_id", "text").repartition(par, "doc_id")
+    return identify_df(d, text_col="text").select(
+        "doc_id", "lang", "score", "raw_score"
+    )
+
+
+def _heli_topk_docs(spark, sf):
+    from heliport_spark.operators.identify import identify_topk_df
+
+    d = _t(spark, sf, "documents").select("doc_id", "text").limit(50)
+    return identify_topk_df(d, text_col="text", k=3).select(
+        "doc_id", F.col("topk.lang").alias("langs")
+    )
+
+
+def _quality_filter_clips(spark, sf):
+    from heliport_spark.pipeline import quality_filter
+    from heliport_spark.sources.clips import clips_from_documents
+
+    clips = clips_from_documents(spark, sf)
+    return quality_filter(clips).select(
+        "clip_id", "lang", "confidence", "keep", "scrubbed_text",
+        "quality.scrub_spans",
+    )
+
+
+def _ann_lsh(spark, sf):
+    from heliport_spark.operators.similarity import lsh_ann_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return lsh_ann_topk(e, q, k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_top_orders": _q3_top_orders,
+        "region_revenue": _region_revenue,
+        "top_order_per_customer": _top_order_per_customer,
+        "supplier_balance": _supplier_balance,
+        "parts_by_brand": _parts_by_brand,
+        "events_sessions": _events_sessions,
+        "doc_quality": _doc_quality,
+        "word_counts": _word_counts,
+        "char_trigrams": _char_trigrams,
+        "ngram_probs": _ngram_probs,
+        "posting_lists": _posting_lists,
+        "scrub_stats": _scrub_stats,
+        "keep_drop_rules": _keep_drop_rules,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "simhash": _simhash,
+        "ann_bruteforce": _ann_bruteforce,
+        "embedding_neardup": _embedding_neardup,
+        # rows-only (no SQL oracle possible):
+        "heli_identify_docs": _heli_identify_docs,
+        "heli_topk_docs": _heli_topk_docs,
+        "quality_filter_clips": _quality_filter_clips,
+        "ann_lsh": _ann_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -------------------------------------------------------------------- oracles
+
+def _minhash_sql_parts() -> str:
+    from heliport_spark.operators.dedup import (
+        LSH_BANDS,
+        MERSENNE_P,
+        MINHASH_PARAMS,
+    )
+
+    rows_per_band = len(MINHASH_PARAMS) // LSH_BANDS
+    params = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS))
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+sh0 AS (
+  SELECT id, substr(norm, i::INT, 5) AS sh
+  FROM (SELECT id, norm,
+               unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+        FROM docs)
+),
+sh AS (SELECT DISTINCT id, sh FROM sh0),
+hh AS (
+  SELECT id, (('0x' || substr(md5(sh), 1, 15))::BIGINT) % {MERSENNE_P} AS h
+  FROM sh
+),
+params(i, a, b) AS (VALUES {params}),
+mh AS (
+  SELECT id, p.i AS i, min((p.a * h + p.b) % {MERSENNE_P}) AS mh
+  FROM hh, params p GROUP BY id, p.i
+),
+sig AS (
+  SELECT id, (i // {rows_per_band}) AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+  FROM mh GROUP BY id, (i // {rows_per_band})
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from heliport_spark.functions.scrub import scrub_sql
+    from heliport_spark.functions.text import STOPWORDS
+
+    _, spans_sql = scrub_sql("text")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    fp_sql = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+    return {
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "q3_top_orders": """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        "region_revenue": """
+SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name""",
+        "top_order_per_customer": """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS top_price
+FROM ranked JOIN customer ON o_custkey = c_custkey WHERE rk = 1""",
+        "supplier_balance": """
+SELECT n_name, round(sum(s_acctbal), 2) AS total_balance,
+       count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name""",
+        "parts_by_brand": """
+SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price,
+       max(p_size) AS max_size
+FROM part GROUP BY p_brand""",
+        "events_sessions": """
+WITH g AS (
+  SELECT user_id, value,
+         epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT user_id,
+       sum(CASE WHEN gap > 1800000 THEN 1 ELSE 0 END) + 1 AS n_sessions,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM g GROUP BY user_id""",
+        "doc_quality": f"""
+SELECT doc_id,
+       length(text) AS len_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       round(CASE WHEN length(text) > 0
+             THEN len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)
+             ELSE 0 END, 6) AS digit_ratio,
+       round(CASE WHEN length(text) > 0
+             THEN len(regexp_extract_all(text, '\\p{{L}}'))::DOUBLE / length(text)
+             ELSE 0 END, 6) AS alpha_ratio,
+       round(CASE WHEN trim(text) = '' THEN 0 ELSE
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> list_contains([{stop_list}], x)))::DOUBLE
+         / len(string_split_regex(trim(text), '\\s+')) END, 6) AS stopword_ratio,
+       {fp_sql} AS fp
+FROM documents""",
+        "word_counts": """
+SELECT w AS gram, count(*) AS cnt
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+GROUP BY w ORDER BY cnt DESC, gram LIMIT 100""",
+        "char_trigrams": """
+WITH words AS (
+  SELECT ' ' || unnest(string_split_regex(trim(text), '\\s+')) || ' ' AS pw
+  FROM documents
+),
+idx AS (SELECT pw, unnest(generate_series(1, length(pw) - 2)) AS i FROM words)
+SELECT substr(pw, i::INT, 3) AS gram, count(*) AS cnt
+FROM idx GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""",
+        "ngram_probs": """
+WITH wc AS (
+  SELECT lang, w AS gram, count(*) AS cnt
+  FROM (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents)
+  GROUP BY lang, w
+),
+tot AS (SELECT *, sum(cnt) OVER (PARTITION BY lang) AS total FROM wc),
+ret AS (SELECT lang, gram, cnt FROM tot WHERE cnt::DOUBLE / total > 0.0000005),
+la AS (SELECT *, sum(cnt) OVER (PARTITION BY lang) AS langamount FROM ret)
+SELECT lang, gram, cnt, round(-log10(cnt::DOUBLE / langamount), 6) AS prob
+FROM la""",
+        "posting_lists": """
+WITH lg AS (
+  SELECT DISTINCT lang, w AS gram
+  FROM (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents)
+)
+SELECT gram, count(DISTINCT lang) AS n_langs,
+       string_agg(lang, ',' ORDER BY lang) AS langs_csv
+FROM lg GROUP BY gram HAVING count(DISTINCT lang) > 1""",
+        "scrub_stats": f"""
+WITH s AS (SELECT source, {spans_sql} AS spans FROM documents)
+SELECT source, count(*) AS n_docs, sum(spans) AS total_spans,
+       sum(CASE WHEN spans > 0 THEN 1 ELSE 0 END) AS docs_with_pii
+FROM s GROUP BY source""",
+        "keep_drop_rules": """
+WITH q AS (
+  SELECT source,
+         CASE WHEN length(text) BETWEEN 2 AND 20000
+              AND (CASE WHEN length(text) > 0 THEN
+                   len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)
+                   ELSE 0 END) <= 0.3
+              AND (CASE WHEN length(text) > 0 THEN
+                   len(regexp_extract_all(text, '\\p{L}'))::DOUBLE / length(text)
+                   ELSE 0 END) >= 0.4
+         THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, sum(keep) AS n_keep FROM q GROUP BY source""",
+        "dedup_exact": f"""
+WITH f AS (SELECT doc_id, {fp_sql} AS fp FROM documents),
+g AS (SELECT doc_id, fp,
+             count(*) OVER (PARTITION BY fp) AS dup_count,
+             min(doc_id) OVER (PARTITION BY fp) AS keeper
+      FROM f)
+SELECT doc_id, fp, dup_count FROM g WHERE doc_id = keeper""",
+        "dedup_minhash_lsh": _minhash_sql_parts() + """
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id""",
+        "dedup_ngram_jaccard": _minhash_sql_parts() + """,
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT c.id_a, c.id_b,
+       round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM cands c JOIN inter ON c.id_a = inter.id_a AND c.id_b = inter.id_b
+JOIN sizes sa ON c.id_a = sa.id JOIN sizes sb ON c.id_b = sb.id
+WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.3""",
+        "simhash": """
+WITH words AS (
+  SELECT doc_id AS id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents) WHERE w <> ''
+),
+wh AS (SELECT id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words),
+ex AS (SELECT id, h, g.j FROM wh, generate_series(0, 15) AS g(j)),
+bits AS (SELECT id, j, sum(((h >> j::INT) % 2) * 2 - 1) AS s
+         FROM ex GROUP BY id, j)
+SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END) AS simhash
+FROM bits GROUP BY id""",
+        "ann_bruteforce": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+px AS (SELECT query_id, neighbor_id,
+              unnest(qv)::DOUBLE AS qe, unnest(cv)::DOUBLE AS ce
+       FROM q, c WHERE neighbor_id <> query_id),
+s AS (SELECT query_id, neighbor_id,
+        round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 4) AS sim
+      FROM px GROUP BY query_id, neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+SELECT query_id, neighbor_id, sim FROM r WHERE rk <= 5""",
+        "embedding_neardup": """
+WITH px AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   unnest(a.embedding)::DOUBLE AS ae,
+                   unnest(b.embedding)::DOUBLE AS be
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+s AS (SELECT id_a, id_b,
+        round(sum(ae * be) / (sqrt(sum(ae * ae)) * sqrt(sum(be * be))), 4) AS sim
+      FROM px GROUP BY id_a, id_b)
+SELECT id_a, id_b, sim FROM s WHERE sim >= 0.4""",
+    }

@@ -1,0 +1,168 @@
+"""CLI mirroring the reference's subcommands (/root/reference/src/cli/mod.rs):
+
+  identify      lines in → ``lang`` or ``lang\\tscore`` out
+                (heliport identify, src/cli/identify.rs:18-72)
+  compile-model text models → numpy artifact (heliport binarize,
+                src/cli/binarize.rs)
+  create-model  corpus file(s) → top-k n-gram count files (heliport
+                create-model, src/cli/create_models.rs) — Spark job
+  pipeline      clips parquet → quality-filter decisions parquet (ours)
+
+``identify`` runs driver-side (no Spark) for small inputs — the same
+vectorized scorer the executors use — matching the reference CLI's output
+format for golden-file parity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def cmd_identify(args) -> int:
+    from .heli import Scorer
+    from .model import get_model
+
+    try:
+        scorer = Scorer(get_model(args.model_dir) if args.model_dir else None)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"error: could not load model: {e}", file=sys.stderr)
+        return 1
+    try:
+        fin = open(args.input, encoding="utf-8") if args.input else sys.stdin
+    except OSError as e:
+        print(f"error: opening input file: {e}", file=sys.stderr)
+        return 1
+    try:
+        fout = open(args.output, "w", encoding="utf-8") if args.output else sys.stdout
+    except OSError as e:
+        print(f"error: opening output file: {e}", file=sys.stderr)
+        return 1
+    batch: list[str] = []
+
+    def flush():
+        if not batch:
+            return
+        labels, scores, _, _ = scorer.identify_batch(batch, args.ignore_confidence)
+        for lang, score in zip(labels, scores):
+            if args.print_scores:
+                fout.write(f"{lang}\t{score:.{args.precision}f}\n")
+            else:
+                fout.write(f"{lang}\n")
+        batch.clear()
+
+    for line in fin:
+        batch.append(line.rstrip("\n"))
+        if len(batch) >= args.batch_size:
+            flush()
+    flush()
+    if args.input:
+        fin.close()
+    if args.output:
+        fout.close()
+    return 0
+
+
+def cmd_compile_model(args) -> int:
+    from .model_compile import compile_model
+
+    out = compile_model(
+        args.src, args.out, args.langs.split(",") if args.langs else None
+    )
+    print(f"compiled model artifact at {out}", file=sys.stderr)
+    return 0
+
+
+def cmd_create_model(args) -> int:
+    """Train n-gram count files from line corpora (T1-T4) with Spark."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .operators.train import char_ngrams_expr, top_k, words_expr
+    from .plans import get_spark
+
+    spark = get_spark(app_name="heliport_create_model")
+    os.makedirs(args.output_dir, exist_ok=True)
+    order_names = ("word", "unigram", "bigram", "trigram", "quadgram",
+                   "quingram", "hexagram")
+    for path in args.input_files:
+        lang = os.path.basename(path).split(".")[0]
+        lines = spark.read.text(path)
+        words = lines.select(F.explode(words_expr(F.col("value"))).alias("w"))
+        for t, oname in enumerate(order_names):
+            if t == 0:
+                grams = words.select(F.col("w").alias("gram"))
+            else:
+                grams = words.select(
+                    F.explode(char_ngrams_expr(F.col("w"), t)).alias("gram")
+                )
+            counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+            top = top_k(counts, args.top_k).orderBy(F.desc("cnt"), F.asc("gram"))
+            rows = top.collect()
+            total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+            with open(
+                os.path.join(args.output_dir, f"{lang}.{oname}.model"),
+                "w", encoding="utf-8",
+            ) as fh:
+                fh.write(f"{total}\n")
+                for r in rows:
+                    fh.write(f"{r['gram']}\t{r['cnt']}\n")
+        print(f"trained '{lang}'", file=sys.stderr)
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    from .pipeline import run_pipeline
+    from .plans import get_spark
+
+    spark = get_spark(app_name="heliport_pipeline")
+    clips = spark.read.parquet(args.input)
+    counters = run_pipeline(
+        spark, clips, args.output, n_buckets=args.buckets,
+        model_dir=args.model_dir, resume=not args.no_resume,
+    )
+    print(counters)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="heliport_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("identify", aliases=["detect"])
+    p.add_argument("-b", "--batch-size", type=int, default=100_000)
+    p.add_argument("-c", "--ignore-confidence", action="store_true")
+    p.add_argument("-s", "--print-scores", action="store_true")
+    p.add_argument("-p", "--precision", type=int, default=4)
+    p.add_argument("-m", "--model-dir", default=None)
+    p.add_argument("input", nargs="?", default=None)
+    p.add_argument("output", nargs="?", default=None)
+    p.set_defaults(fn=cmd_identify)
+
+    p = sub.add_parser("compile-model")
+    p.add_argument("--src", default="/root/reference/LanguageModels")
+    p.add_argument("--out", default=None)
+    p.add_argument("--langs", default=None)
+    p.set_defaults(fn=cmd_compile_model)
+
+    p = sub.add_parser("create-model")
+    p.add_argument("output_dir")
+    p.add_argument("input_files", nargs="+")
+    p.add_argument("-k", "--top-k", type=int, default=10_000)
+    p.set_defaults(fn=cmd_create_model)
+
+    p = sub.add_parser("pipeline")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--model-dir", default=None)
+    p.add_argument("--no-resume", action="store_true")
+    p.set_defaults(fn=cmd_pipeline)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

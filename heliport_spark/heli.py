@@ -70,40 +70,74 @@ class Scorer:
 
     # ---------------------------------------------------------- preprocessing
 
-    def preprocess(self, text: str) -> "tuple[list[str], float]":
-        """P1-P4 → (tokens, cjk_pct). Empty token list ⇒ C7 fallback."""
+    def preprocess_batch(self, texts: "list[str]"):
+        """P1-P4 for a whole batch in one numpy pass.
+
+        Returns (tokens, tok_text, bounds, cjk_pct, valid):
+          tokens    flat list[str] of all tokens in text order
+          tok_text  int64[n_tokens] owning-text index
+          bounds    int64[n+1] token offsets per text
+          cjk_pct   float32[n]
+          valid     bool[n] (≥1 token)
+        Texts are lowered individually (P1) then joined with '\\n' (never in
+        the kept set → becomes a space → a guaranteed token boundary).
+        """
         m = self.model
-        lowered = text.lower()
-        if not lowered:
-            return [], 0.0
-        cp = np.frombuffer(lowered.encode("utf-32-le"), dtype="<u4")
+        n = len(texts)
+        lowered = [t.lower() if isinstance(t, str) else "" for t in texts]
+        # char offsets of each text inside the joined buffer
+        lens = np.fromiter((len(t) for t in lowered), dtype=np.int64, count=n)
+        text_start = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens + 1, out=text_start[1:])  # +1 for the separator
+        joined = "\n".join(lowered)
+        cjk_pct = np.zeros(n, dtype=np.float32)
+        valid = np.zeros(n, dtype=bool)
+        if not joined:
+            return [], np.empty(0, np.int64), np.zeros(n + 1, np.int64), cjk_pct, valid
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
         cp = np.where(m.keep_table[cp], cp, np.uint32(0x20))
         iscjk = m.cjk_table[cp]
         nonspace = cp != 0x20
-        mystery_len = int(nonspace.sum())
-        if mystery_len == 0:
-            return [], 0.0
-        cjk_pct = float(iscjk.sum()) / mystery_len
-        # token starts/ends: break at spaces and at CJK↔non-CJK transitions
-        prev_nonspace = np.empty_like(nonspace)
-        prev_nonspace[0] = False
-        prev_nonspace[1:] = nonspace[:-1]
+        # per-text counts via prefix sums (robust to empty texts)
+        cs_ns = np.zeros(len(cp) + 1, dtype=np.int64)
+        np.cumsum(nonspace, out=cs_ns[1:])
+        cs_cjk = np.zeros(len(cp) + 1, dtype=np.int64)
+        np.cumsum(iscjk, out=cs_cjk[1:])
+        t0 = text_start[:-1]
+        t1 = np.minimum(text_start[1:] - 1, len(cp))  # exclude separator
+        mystery = cs_ns[t1] - cs_ns[t0]
+        cjk_n = cs_cjk[t1] - cs_cjk[t0]
+        nz = mystery > 0
+        cjk_pct[nz] = cjk_n[nz] / mystery[nz]
+        # token boundaries: break at spaces and CJK↔non-CJK transitions (P3)
+        prev_ns = np.empty_like(nonspace)
+        prev_ns[0] = False
+        prev_ns[1:] = nonspace[:-1]
         prev_cjk = np.empty_like(iscjk)
         prev_cjk[0] = False
         prev_cjk[1:] = iscjk[:-1]
-        starts = nonspace & (~prev_nonspace | (iscjk != prev_cjk))
-        next_nonspace = np.empty_like(nonspace)
-        next_nonspace[-1] = False
-        next_nonspace[:-1] = nonspace[1:]
+        starts = nonspace & (~prev_ns | (iscjk != prev_cjk))
+        next_ns = np.empty_like(nonspace)
+        next_ns[-1] = False
+        next_ns[:-1] = nonspace[1:]
         next_cjk = np.empty_like(iscjk)
         next_cjk[-1] = False
         next_cjk[:-1] = iscjk[1:]
-        ends = nonspace & (~next_nonspace | (iscjk != next_cjk))
+        ends = nonspace & (~next_ns | (iscjk != next_cjk))
         s_idx = np.flatnonzero(starts)
         e_idx = np.flatnonzero(ends)
         cleaned = cp.tobytes().decode("utf-32-le")
         tokens = [cleaned[a : b + 1] for a, b in zip(s_idx, e_idx)]
-        return tokens, cjk_pct
+        tok_text = np.searchsorted(text_start[1:], s_idx, side="right")
+        bounds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(tok_text, minlength=n), out=bounds[1:])
+        valid = bounds[1:] > bounds[:-1]
+        return tokens, tok_text, bounds, cjk_pct, valid
+
+    def preprocess(self, text: str) -> "tuple[list[str], float]":
+        """Single-text P1-P4 → (tokens, cjk_pct)."""
+        tokens, _, _, cjk_pct, _ = self.preprocess_batch([text])
+        return tokens, float(cjk_pct[0])
 
     # ---------------------------------------------------------- word scoring
 
@@ -221,79 +255,94 @@ class Scorer:
         """
         n = len(texts)
         points = np.zeros((n, N_LANGS), dtype=np.float32)
-        valid = np.zeros(n, dtype=bool)
-        cjk_pct = np.zeros(n, dtype=np.float32)
-        tok_lists = []
-        for i, t in enumerate(texts):
-            toks, cjk = self.preprocess(t if isinstance(t, str) else "")
-            tok_lists.append(toks)
-            cjk_pct[i] = cjk
-            valid[i] = bool(toks)
+        tokens, tok_text, bounds, cjk_pct, valid = self.preprocess_batch(texts)
 
         if self.exact:
             memo = self._memo_exact
             if len(memo) > self.cache_cap:
                 for k in list(memo.keys())[: self.cache_cap // 4]:
                     del memo[k]
-            for i, toks in enumerate(tok_lists):
-                if not toks:
+            for i in range(n):
+                lo, hi = bounds[i], bounds[i + 1]
+                if lo == hi:
                     continue
                 lp = np.zeros(N_LANGS, dtype=np.float32)
-                for w in toks:
+                for w in tokens[lo:hi]:
                     v = memo.get(w)
                     if v is None:
                         v = self._score_word_exact(w)
                         memo[w] = v
                     lp += v  # sequential word order (identifier.rs:270)
-                lp /= np.float32(len(toks))
+                lp /= np.float32(hi - lo)
                 points[i] = lp
-        else:
+        elif tokens:
+            # distinct tokens of this batch
             local: dict[str, int] = {}
-            flat_ids: list[int] = []
-            bounds = np.zeros(n + 1, dtype=np.int64)
+            flat_ids = np.empty(len(tokens), dtype=np.int64)
             new_words: list[str] = []
             memo = self._memo
-            for i, toks in enumerate(tok_lists):
-                for w in toks:
-                    li = local.get(w)
-                    if li is None:
-                        li = len(local)
-                        local[w] = li
-                        if w not in memo:
-                            new_words.append(w)
-                    flat_ids.append(li)
-                bounds[i + 1] = len(flat_ids)
+            lget = local.get
+            for k, w in enumerate(tokens):
+                li = lget(w)
+                if li is None:
+                    li = len(local)
+                    local[w] = li
+                    if w not in memo:
+                        new_words.append(w)
+                flat_ids[k] = li
             if new_words:
                 self._score_words_fast(new_words)
+            # concatenated sparse word vectors (base scalar + (idx, val) list)
             u = len(local)
-            if u:
-                W = np.empty((u, N_LANGS), dtype=np.float32)
-                rows_idx: list[np.ndarray] = []
-                rows_val: list[np.ndarray] = []
-                rows_row: list[np.ndarray] = []
-                for w, li in local.items():
-                    base, nz, val = memo[w]
-                    W[li] = base
-                    if len(nz):
-                        rows_idx.append(nz)
-                        rows_val.append(val)
-                        rows_row.append(np.full(len(nz), li, dtype=np.int64))
-                if rows_idx:
-                    np.add.at(
-                        W,
-                        (np.concatenate(rows_row), np.concatenate(rows_idx).astype(np.int64)),
-                        np.concatenate(rows_val),
-                    )
-                ids = np.asarray(flat_ids, dtype=np.int64)
-                nwords = np.diff(bounds)
-                vrows = np.flatnonzero(valid)
-                # chunk the (occurrences, 242) gather to bound memory
-                chunk = max(1, 20_000 * 20 // max(1, int(nwords[valid].mean() or 1)))
-                for c0 in range(0, len(vrows), chunk):
-                    rows = vrows[c0 : c0 + chunk]
-                    lo, hi = bounds[rows[0]], bounds[rows[-1] + 1]
-                    seg = np.add.reduceat(W[ids[lo:hi]], bounds[rows] - lo, axis=0)
-                    points[rows] = seg / nwords[rows].astype(np.float32)[:, None]
+            base = np.empty(u, dtype=np.float32)
+            idx_parts: list[np.ndarray] = []
+            val_parts: list[np.ndarray] = []
+            nnz = np.empty(u, dtype=np.int64)
+            for w, li in local.items():
+                b, iz, vz = memo[w]
+                base[li] = b
+                nnz[li] = len(iz)
+                if len(iz):
+                    idx_parts.append(iz)
+                    val_parts.append(vz)
+            # idx/val concatenated in local-id order (dict preserves insertion
+            # order == local-id order)
+            idx_cat = (
+                np.concatenate(idx_parts).astype(np.int64)
+                if idx_parts
+                else np.empty(0, np.int64)
+            )
+            val_cat = (
+                np.concatenate(val_parts).astype(np.float64)
+                if val_parts
+                else np.empty(0, np.float64)
+            )
+            off = np.zeros(u + 1, dtype=np.int64)
+            np.cumsum(nnz, out=off[1:])
+            nwords = np.diff(bounds).astype(np.float32)
+            # base part: every lang of text i gets Σ base over its words
+            text_base = np.bincount(
+                tok_text, weights=base[flat_ids].astype(np.float64), minlength=n
+            ).astype(np.float32)
+            # sparse part: expand each occurrence's (idx, val) entries and
+            # bin-count on combined (text, lang) keys — bounded memory, no
+            # dense (occurrences × 242) gather
+            occ_nnz = nnz[flat_ids]
+            total = int(occ_nnz.sum())
+            if total:
+                starts = off[flat_ids]
+                pos = np.repeat(
+                    starts - np.concatenate(([0], np.cumsum(occ_nnz)[:-1])), occ_nnz
+                ) + np.arange(total)
+                e_rows = np.repeat(tok_text, occ_nnz)
+                keys = e_rows * N_LANGS + idx_cat[pos]
+                sparse = np.bincount(
+                    keys, weights=val_cat[pos], minlength=n * N_LANGS
+                ).reshape(n, N_LANGS)
+                points[:] = sparse
+            points += text_base[:, None]
+            nw_safe = np.where(valid, nwords, np.float32(1.0))
+            points /= nw_safe[:, None]
 
         # C3: CJK mass penalty after normalization (identifier.rs:291-298)
         cjk_rows = valid & (cjk_pct > 0.5)

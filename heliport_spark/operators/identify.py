@@ -65,38 +65,46 @@ def identify_df(
     ``score`` follows the reference CLI semantics
     (/root/reference/src/cli/identify.rs:43-46): confidence margin when
     thresholds are applied, raw HeLI score when ``ignore_confidence``.
+
+    Implementation: a *scalar* pandas UDF returning a struct — only the text
+    column crosses the JVM↔Python Arrow boundary. (An earlier mapInPandas
+    version serialized every passthrough column — for audio rows that shipped
+    megabytes of PCM through Python per row and capped the pipeline at the
+    Arrow transfer rate, not the scorer.)
     """
     mdir = resolve_model_dir(model_dir)
-    new_fields = [
-        StructField(prefix + "lang", StringType()),
-        StructField(prefix + "score", FloatType()),
-        StructField(prefix + "raw_score", FloatType()),
-        StructField(prefix + "cjk_pct", FloatType()),
+    fields = [
+        StructField("lang", StringType()),
+        StructField("score", FloatType()),
+        StructField("raw_score", FloatType()),
+        StructField("cjk_pct", FloatType()),
     ]
     if with_ft:
-        new_fields += [
-            StructField(prefix + "ft_lang", StringType()),
-            StructField(prefix + "ft_prob", FloatType()),
+        fields += [
+            StructField("ft_lang", StringType()),
+            StructField("ft_prob", FloatType()),
         ]
-    out_schema = StructType(list(df.schema.fields) + new_fields)
+    struct_type = StructType(fields)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    @F.pandas_udf(returnType=struct_type)
+    def heli_udf(texts: pd.Series) -> pd.DataFrame:
         scorer = _get_worker_scorer(mdir, exact)
-        for pdf in batches:
-            texts = ["" if t is None else str(t) for t in pdf[text_col]]
-            labels, score, raw, cjk = scorer.identify_batch(texts, ignore_confidence)
-            pdf = pdf.copy(deep=False)
-            pdf[prefix + "lang"] = labels
-            pdf[prefix + "score"] = score
-            pdf[prefix + "raw_score"] = raw
-            pdf[prefix + "cjk_pct"] = cjk
-            if with_ft:
-                ft_lang, ft_prob = scorer.ft_identify_batch(texts)
-                pdf[prefix + "ft_lang"] = ft_lang
-                pdf[prefix + "ft_prob"] = ft_prob
-            yield pdf
+        tl = ["" if t is None else str(t) for t in texts]
+        labels, score, raw, cjk = scorer.identify_batch(tl, ignore_confidence)
+        out = pd.DataFrame(
+            {"lang": labels, "score": score, "raw_score": raw, "cjk_pct": cjk}
+        )
+        if with_ft:
+            ft_lang, ft_prob = scorer.ft_identify_batch(tl)
+            out["ft_lang"] = ft_lang
+            out["ft_prob"] = ft_prob
+        return out
 
-    return df.mapInPandas(run, schema=out_schema)
+    tmp = "_heli_" + prefix
+    out = df.withColumn(tmp, heli_udf(F.col(text_col)))
+    for f in fields:
+        out = out.withColumn(prefix + f.name, F.col(f"{tmp}.{f.name}"))
+    return out.drop(tmp)
 
 
 def identify_topk_df(

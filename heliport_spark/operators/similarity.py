@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(baseline) and LSH-bucketed ANN (scale path).
+
+Embeddings are ``array<float>`` columns. The dot products stay JVM-side via
+``F.zip_with`` + ``F.aggregate`` (no Python). Brute force is a broadcast
+nested-loop against a *small* query set — correct baseline, O(n·q). The scale
+path hashes vectors into random-hyperplane sign buckets so candidate
+generation is an equi-join on bucket key: at 100 TB the full crossJoin is
+impossible, the bucket join shuffles only matching buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For each query vector: top-k corpus neighbors by cosine (excluding
+    self). Queries are broadcast; output (query_id, neighbor_id, sim@4dp)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.withColumn(
+        "sim", F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_expr(vec, planes: np.ndarray):
+    """Sign-bucket key: bit i = (vec · plane_i) > 0, packed into a bigint."""
+    key = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        key = key + F.when(proj > 0, F.shiftleft(F.lit(1), i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return key
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the sign-LSH bucket, then exact
+    cosine rank within candidates. Recall < 1 by construction; the join is an
+    equi-join on bucket (shuffle-partitionable), never a crossJoin."""
+    planes = hyperplanes(dim, n_planes)
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    joined = c.join(F.broadcast(q), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.withColumn(
+        "sim", F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucketed self-join
+    (sign-LSH prefilter, exact cosine verify). Output (id_a, id_b, sim@4dp)."""
+    planes = hyperplanes(dim, n_planes)
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    )
+    return (
+        pairs.withColumn("sim", F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "sim")
+    )

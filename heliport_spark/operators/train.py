@@ -1,0 +1,114 @@
+"""Model-training operators (reference T1-T9) as reusable DataFrame transforms.
+
+These are the reference's *relational* operators (SURVEY.md §2.4) — n-gram
+counting, top-k truncation, relative-frequency pruning, probability
+computation, posting-list merge — re-expressed as Spark aggregations so they
+run distributed over a corpus table instead of rayon-over-files:
+
+* T1 hash-agg n-gram counts   (/root/reference/src/trainer.rs:25-63)
+* T2 totals                   (trainer.rs:97,105)
+* T3 top-k per (lang, order)  (trainer.rs:106-108; k=10000 default,
+                               src/cli/create_models.rs:19-25)
+* T5 rel-freq pruning > 5e-7  (heliport-model/src/languagemodel.rs:44,150-156)
+* T6 prob = -log10(count/langamount), langamount = retained sum
+                               (languagemodel.rs:151-165)
+* T7 posting merge gram→langs (languagemodel.rs:164-173)
+
+Scale notes: counting is a map-side-combinable hash aggregate (Catalyst emits
+partial_count automatically); top-k uses a window per (lang) partition —
+skew-prone on giant languages, so rank only after the count aggregation has
+already collapsed cardinality. The char-n-gram explode stays JVM-side
+(sequence+transform+explode), no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def words_expr(text: Column) -> Column:
+    """Whitespace tokens (empty/blank → empty array). Matches the trainer's
+    split_whitespace (trainer.rs:36) modulo the non-alpha replacement, which
+    callers apply upstream if they want full training parity."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def char_ngrams_expr(word: Column, n: int) -> Column:
+    """All char n-grams of ``' word '`` (space-padded, trainer.rs:48-52),
+    pure Catalyst: substring over a generated index sequence."""
+    padded = F.concat(F.lit(" "), word, F.lit(" "))
+    return F.transform(
+        F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1)),
+        lambda i: padded.substr(i, F.lit(n)),
+    )
+
+
+def count_words(df: DataFrame, text_col: str = "text",
+                group_cols: "list[str]" = ()) -> DataFrame:
+    """T1 (order=word): explode words → hash-agg counts."""
+    cols = [F.col(c) for c in group_cols]
+    return (
+        df.select(*cols, F.explode(words_expr(F.col(text_col))).alias("gram"))
+        .groupBy(*cols, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_char_ngrams(df: DataFrame, n: int, text_col: str = "text",
+                      group_cols: "list[str]" = ()) -> DataFrame:
+    """T1 (order=n): explode char n-grams of every space-padded word."""
+    cols = [F.col(c) for c in group_cols]
+    words = df.select(
+        *cols, F.explode(words_expr(F.col(text_col))).alias("w")
+    )
+    return (
+        words.select(*cols, F.explode(char_ngrams_expr(F.col("w"), n)).alias("gram"))
+        .groupBy(*cols, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def top_k(counts: DataFrame, k: int, partition_cols: "list[str]" = ()) -> DataFrame:
+    """T3: k most frequent per partition, deterministic tie-break on gram."""
+    w = Window.partitionBy(*[F.col(c) for c in partition_cols]).orderBy(
+        F.desc("cnt"), F.asc("gram")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def prune_and_probs(counts: DataFrame, partition_cols: "list[str]",
+                    max_used: float = 5e-7) -> DataFrame:
+    """T5+T6: relative-frequency prune against the partition total, then
+    -log10(count / retained-sum). The reference's take-while over desc-sorted
+    files ≡ a plain filter because the threshold is monotone in count."""
+    w = Window.partitionBy(*[F.col(c) for c in partition_cols])
+    with_total = counts.withColumn("total", F.sum("cnt").over(w))
+    retained = with_total.filter(
+        F.col("cnt").cast("double") / F.col("total") > max_used
+    )
+    w2 = Window.partitionBy(*[F.col(c) for c in partition_cols])
+    return (
+        retained.withColumn("langamount", F.sum("cnt").over(w2))
+        .withColumn(
+            "prob", -F.log10(F.col("cnt").cast("double") / F.col("langamount"))
+        )
+        .drop("total")
+    )
+
+
+def posting_lists(probs: DataFrame, gram_col: str = "gram",
+                  lang_col: str = "lang") -> DataFrame:
+    """T7: gram → sorted postings (exploded as rows for oracle portability):
+    output (gram, n_langs, langs_csv)."""
+    return probs.groupBy(gram_col).agg(
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.concat_ws(",", F.sort_array(F.collect_set(lang_col))).alias("langs_csv"),
+    )

@@ -29,6 +29,12 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 32)
+    # One BLAS/OMP thread per Python worker: N workers × M spinning BLAS
+    # threads destroys scaling of the vectorized-UDF stage (threads busy-wait
+    # on 242-wide ops that numpy executes single-threaded anyway).
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+              "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(v, "1")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)

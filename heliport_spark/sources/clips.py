@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -84,40 +85,62 @@ def synth_pcm(row_id: int, sr_hz: int = 16000, dur_ms: "int | None" = None) -> b
 
 
 def clips_from_documents(spark: SparkSession, sf_dir: str,
-                         with_golden: bool = True) -> DataFrame:
+                         with_golden: bool = True,
+                         replicate: int = 1,
+                         max_pcm_ms: "int | None" = None) -> DataFrame:
     """Derive a deterministic clips table from the driver's ``documents``
     parquet: transcript = documents.text (+ the golden/adversarial corpus
     appended), PCM synthesized per row. Distributed via mapInPandas — no
-    driver-side materialization."""
+    driver-side materialization.
+
+    ``replicate`` > 1 produces N distinct-id copies of each document
+    (benchmark scale-up); ``max_pcm_ms`` caps the synthesized audio length
+    (dur_ms metadata stays consistent with the bytes)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        docs = docs.crossJoin(reps).select(
+            (F.col("doc_id") * replicate + F.col("rep")).alias("doc_id"), "text"
+        )
+    # Spread synth across cores (a single small parquet file = one input
+    # split) and bound the PCM bytes per Arrow batch: a yielded pandas frame
+    # becomes one Arrow record batch, and 10k rows × ~0.5 MB PCM would
+    # overflow the 2 GiB single-array binary limit — so emit ≤128-row chunks.
+    par = spark.sparkContext.defaultParallelism * 2
+    docs = docs.repartition(par, "doc_id")
 
     def synth(batches):
-        for pdf in batches:
-            out = pd.DataFrame(
-                {
-                    "clip_id": [f"clip-{int(d):012d}" for d in pdf["doc_id"]],
-                    "transcript": pdf["text"].astype(object),
-                }
-            )
-            srs, bs, dms = [], [], []
-            for d, txt in zip(pdf["doc_id"], pdf["text"]):
-                d = int(d)
-                sr = 8000 if d % 17 == 0 else (22050 if d % 23 == 0 else 16000)
-                # duration tracks transcript length (~15 chars/s speech rate)
-                # so the rate-anomaly rule only fires on deliberate outliers
-                nchars = len(txt) if isinstance(txt, str) else 0
-                dur = max(200, min(60_000, int(nchars * 1000 / 15)))
-                if d % 97 == 0:  # deliberate rate outliers
-                    dur = 100_000 if d % 2 == 0 else 200
-                raw = synth_pcm(d, sr, dur_ms=dur)
-                srs.append(sr)
-                bs.append(raw)
-                dms.append(len(raw) // 2 * 1000 // sr)
-            out["bytes"] = bs
-            out["sr_hz"] = np.asarray(srs, np.int32)
-            out["dur_ms"] = np.asarray(dms, np.int32)
-            out["codec"] = "pcm_s16le"
-            yield out[["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]]
+        CHUNK = 128
+        for pdf0 in batches:
+            for lo in range(0, len(pdf0), CHUNK):
+                pdf = pdf0.iloc[lo : lo + CHUNK]
+                out = pd.DataFrame(
+                    {
+                        "clip_id": [f"clip-{int(d):012d}" for d in pdf["doc_id"]],
+                        "transcript": pdf["text"].astype(object),
+                    }
+                )
+                srs, bs, dms = [], [], []
+                for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                    d = int(d)
+                    sr = 8000 if d % 17 == 0 else (22050 if d % 23 == 0 else 16000)
+                    # duration tracks transcript length (~25 chars/s speech
+                    # rate) so the rate rule only fires on deliberate outliers
+                    nchars = len(txt) if isinstance(txt, str) else 0
+                    dur = max(200, min(60_000, int(nchars * 1000 / 25)))
+                    if d % 97 == 0:  # deliberate rate outliers
+                        dur = 100_000 if d % 2 == 0 else 200
+                    if max_pcm_ms is not None:
+                        dur = min(dur, max_pcm_ms)
+                    raw = synth_pcm(d, sr, dur_ms=dur)
+                    srs.append(sr)
+                    bs.append(raw)
+                    dms.append(len(raw) // 2 * 1000 // sr)
+                out["bytes"] = bs
+                out["sr_hz"] = np.asarray(srs, np.int32)
+                out["dur_ms"] = np.asarray(dms, np.int32)
+                out["codec"] = "pcm_s16le"
+                yield out[["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]]
 
     df = docs.mapInPandas(synth, schema=CLIPS_SCHEMA)
     if with_golden:

@@ -1,0 +1,52 @@
+"""Structured Streaming front-end: file-source clips stream through the same
+quality_filter graph with checkpointing, and a windowed watermark agg."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from heliport_spark.sources.clips import golden_clips
+from heliport_spark.streaming.stream import (
+    start_pipeline_stream,
+    stream_clips_from_directory,
+    windowed_lang_counts,
+)
+
+
+@pytest.fixture()
+def stream_dirs(spark):
+    base = tempfile.mkdtemp(prefix="hs_stream_")
+    dirs = {k: f"{base}/{k}" for k in ("in", "out", "ckpt")}
+    clips = golden_clips(spark)
+    clips.write.mode("overwrite").parquet(dirs["in"])
+    yield dirs
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_pipeline(spark, stream_dirs):
+    stream = stream_clips_from_directory(spark, stream_dirs["in"])
+    assert stream.isStreaming
+    q = start_pipeline_stream(
+        stream, stream_dirs["out"], stream_dirs["ckpt"], trigger_seconds=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(stream_dirs["out"])
+    n = out.count()
+    assert n == golden_clips(spark).count()
+    spa = out.filter(F.col("transcript") == "Hola, ¿qué tal?").collect()
+    assert spa and spa[0]["lang"] == "spa"
+
+
+def test_windowed_lang_counts_plan(spark):
+    # watermark + window aggregation compiles against a streaming source
+    clips = golden_clips(spark).withColumn(
+        "event_time", F.current_timestamp()
+    ).withColumn("lang", F.lit("eng")).withColumn("keep", F.lit(True))
+    agg = windowed_lang_counts(clips)
+    row = agg.collect()
+    assert row and row[0]["n_clips"] == clips.count()
