@@ -21,10 +21,11 @@ import sys
 
 def cmd_identify(args) -> int:
     from .heli import Scorer
-    from .model import get_model
+    from .model import DEFAULT_MODEL_DIR, get_model
 
     try:
-        scorer = Scorer(get_model(args.model_dir) if args.model_dir else None)
+        langs = args.relevant_langs.split(",") if args.relevant_langs else None
+        scorer = Scorer(get_model(args.model_dir or DEFAULT_MODEL_DIR, langs=langs))
     except (FileNotFoundError, ValueError) as e:
         print(f"error: could not load model: {e}", file=sys.stderr)
         return 1
@@ -136,6 +137,8 @@ def main(argv=None) -> int:
     p.add_argument("-s", "--print-scores", action="store_true")
     p.add_argument("-p", "--precision", type=int, default=4)
     p.add_argument("-m", "--model-dir", default=None)
+    p.add_argument("-l", "--relevant-langs", default=None,
+                   help="comma-separated language subset (reference T8)")
     p.add_argument("input", nargs="?", default=None)
     p.add_argument("output", nargs="?", default=None)
     p.set_defaults(fn=cmd_identify)

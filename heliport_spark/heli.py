@@ -417,13 +417,14 @@ class Scorer:
         n = len(texts)
         points = np.zeros((n, N_LANGS), dtype=np.float32)
         counts = np.zeros(n, dtype=np.int64)
-        for i, text in enumerate(texts):
-            toks, _ = self.preprocess(text if isinstance(text, str) else "")
-            if not toks:
+        tokens, tok_text, bounds, _, _ = self.preprocess_batch(list(texts))
+        for i in range(n):
+            lo, hi = bounds[i], bounds[i + 1]
+            if lo == hi:
                 continue
             acc = np.zeros(N_LANGS, dtype=np.float32)
             k_total = 0
-            for w in toks:
+            for w in tokens[lo:hi]:
                 e = memo.get(w)
                 if e is None:
                     grams = _shingles(f" {w} ", t)

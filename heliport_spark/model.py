@@ -104,9 +104,17 @@ class OrderTable:
 
 
 class HeliModel:
-    """Loaded model artifact (per-process; mmap-shared across workers)."""
+    """Loaded model artifact (per-process; mmap-shared across workers).
 
-    def __init__(self, model_dir: "str | os.PathLike" = DEFAULT_MODEL_DIR):
+    ``langs``: optional subset (reference T8 / CLI ``--relevant-langs``,
+    languagemodel.rs:62-83): postings for other languages are dropped and
+    grams left with no postings are removed — matching the reference's
+    from_text_langs semantics where an excluded-language gram is simply
+    absent (back-off continues past it).
+    """
+
+    def __init__(self, model_dir: "str | os.PathLike" = DEFAULT_MODEL_DIR,
+                 langs: "list[str] | None" = None):
         d = Path(model_dir)
         if not (d / "meta.json").exists():
             raise FileNotFoundError(
@@ -118,30 +126,57 @@ class HeliModel:
         if tuple(meta["langs"]) != LANGS:
             raise ValueError("model artifact language table mismatch")
         self.meta = meta
+        lang_ids = None
+        if langs is not None:
+            from .langs import LANG_INDEX
+
+            for l in langs:
+                if l not in LANG_INDEX:
+                    raise ValueError(f"Language code '{l}' does not exist")
+            lang_ids = np.array(sorted(LANG_INDEX[l] for l in langs), dtype=np.uint8)
+        self.langs_subset = langs
         self.orders: list[OrderTable] = []
         for t in range(N_ORDERS):
-            self.orders.append(
-                OrderTable(
-                    np.load(d / f"order{t}.keys.npy", mmap_mode="r"),
-                    np.load(d / f"order{t}.offsets.npy", mmap_mode="r"),
-                    np.load(d / f"order{t}.plang.npy", mmap_mode="r"),
-                    np.load(d / f"order{t}.pprob.npy", mmap_mode="r"),
+            keys = np.load(d / f"order{t}.keys.npy", mmap_mode="r")
+            offsets = np.load(d / f"order{t}.offsets.npy", mmap_mode="r")
+            plang = np.load(d / f"order{t}.plang.npy", mmap_mode="r")
+            pprob = np.load(d / f"order{t}.pprob.npy", mmap_mode="r")
+            if lang_ids is not None:
+                keys, offsets, plang, pprob = _filter_order(
+                    keys, offsets, plang, pprob, lang_ids
                 )
-            )
+            self.orders.append(OrderTable(keys, offsets, plang, pprob))
         self.confidence = np.load(d / "confidence.npy")
         assert self.confidence.shape == (N_LANGS,)
         self.keep_table = np.load(d / "keep_table.npy", mmap_mode="r")
         self.cjk_table = np.load(d / "cjk_table.npy", mmap_mode="r")
 
 
-_MODEL_CACHE: dict[str, HeliModel] = {}
+def _filter_order(keys, offsets, plang, pprob, lang_ids):
+    """Drop postings outside the language subset; remove empty grams."""
+    plang = np.asarray(plang)
+    pprob = np.asarray(pprob)
+    offsets = np.asarray(offsets).astype(np.int64)
+    mask = np.isin(plang, lang_ids)
+    counts = np.diff(offsets)
+    gram_of_entry = np.repeat(np.arange(len(keys)), counts)
+    new_counts = np.bincount(gram_of_entry[mask], minlength=len(keys))
+    keep = new_counts > 0
+    new_keys = np.asarray(keys)[keep]
+    new_offsets = np.zeros(int(keep.sum()) + 1, dtype=np.uint64)
+    np.cumsum(new_counts[keep], out=new_offsets[1:])
+    return new_keys, new_offsets, plang[mask], pprob[mask]
 
 
-def get_model(model_dir: "str | os.PathLike" = DEFAULT_MODEL_DIR) -> HeliModel:
+_MODEL_CACHE: dict = {}
+
+
+def get_model(model_dir: "str | os.PathLike" = DEFAULT_MODEL_DIR,
+              langs: "list[str] | None" = None) -> HeliModel:
     """Process-wide model singleton (mirrors python.rs:68-87's LazyLock)."""
-    key = str(model_dir)
+    key = (str(model_dir), tuple(sorted(langs)) if langs else None)
     m = _MODEL_CACHE.get(key)
     if m is None:
-        m = HeliModel(model_dir)
+        m = HeliModel(model_dir, langs=langs)
         _MODEL_CACHE[key] = m
     return m

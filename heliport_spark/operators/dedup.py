@@ -135,6 +135,15 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: "DataFrame | None" = None,
         F.explode(shingles_expr(F.col(text_col), n_shingle)).alias("sh"),
     ).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if candidates is not None:
+        # prune the shingle table to candidate ids BEFORE the self-join —
+        # the whole point of LSH is that this join never sees non-candidates
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .unionByName(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(cand_ids), "id")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -1,0 +1,94 @@
+"""Physical-plan quality gates — the 100 TB posture, asserted.
+
+These tests pin the plan properties the engine's scale story depends on:
+filters/column-pruning reach the parquet scan, small dimensions broadcast,
+the langid stage is exactly ONE ArrowEvalPython node (no duplicate UDF
+evaluation, no extra shuffle), and the PCM bytes column never enters a
+Python stage.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_broadcast_join_for_small_dims(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["region_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_identify_single_arrow_eval(spark):
+    from heliport_spark.pipeline import quality_filter
+
+    clips = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("clip_id"),
+        F.col("text").alias("transcript"),
+        F.lit(bytearray(b"\x00\x00")).alias("bytes"),
+        F.lit(16000).alias("sr_hz"),
+        F.lit(1000).alias("dur_ms"),
+        F.lit("pcm_s16le").alias("codec"),
+    )
+    out = quality_filter(clips, with_ft=False)
+    plan = plan_of(out)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan  # no shuffle in the per-row pipeline
+
+
+def test_bytes_pruned_from_python_stage(spark):
+    """The langid UDF input is only the transcript column — the binary
+    payload must not be an argument to any Python evaluation node."""
+    from heliport_spark.operators.identify import identify_df
+
+    clips = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("text").alias("transcript"),
+        F.col("text").cast("binary").alias("bytes"),
+    )
+    out = identify_df(clips).select("lang")
+    plan = plan_of(out)
+    import re
+
+    m = re.search(r"ArrowEvalPython \[heli_udf\(([^)]*)\)", plan)
+    assert m, plan
+    assert "bytes" not in m.group(1)
+    # and bytes is pruned from the scan entirely for this projection
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_count_aggregation_is_partial(spark):
+    """T1 counting must emit a map-side partial aggregate before the
+    shuffle (hash-agg combine), not a raw-row shuffle."""
+    from heliport_spark.operators.train import count_words
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(count_words(d, "text"))
+    first_agg = plan.index("HashAggregate")
+    exchange = plan.index("Exchange")
+    assert plan.count("HashAggregate") >= 2
+    assert first_agg < exchange or "partial_count" in plan
+
+
+def test_scrub_is_whole_stage_codegen(spark):
+    from heliport_spark.functions.scrub import scrub_expr
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    s, n = scrub_expr("text")
+    plan = plan_of(d.select(s.alias("s"), n.alias("n")))
+    # codegen'd stages print as "*(n) Project ..." in executedPlan.toString
+    assert plan.lstrip().startswith("*(")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
