@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # audio rows carry ~0.1-2 MB binary PCM: the default 4096-row
+        # vectorized-reader batch would buffer gigabytes per column
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
