@@ -305,6 +305,67 @@ def _embedding_neardup(spark, sf):
     )
 
 
+def _events_json(spark, sf):
+    """JSON scalar extraction + aggregation (props is a JSON string)."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def _orders_by_month(spark, sf):
+    """Date/math scalar functions over timestamps."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sqrt(F.avg("o_totalprice")), 4).alias("sqrt_avg"),
+        )
+    )
+
+
+def _revenue_rollup(spark, sf):
+    """ROLLUP over (region, nation) with grouping-id (SURVEY §2.5 category)."""
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    j = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def _customer_set_ops(spark, sf):
+    """INTERSECT / EXCEPT (SURVEY §2.5 category): customers with orders vs
+    high-balance customers, tagged and unioned."""
+    c = _t(spark, sf, "customer").select("c_custkey")
+    with_orders = (
+        _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct()
+    )
+    rich = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    both = with_orders.intersect(rich).withColumn("tag", F.lit("active_rich"))
+    idle = c.exceptAll(with_orders).withColumn("tag", F.lit("no_orders"))
+    return both.unionByName(idle)
+
+
 # ------- langid / pipeline operators (genuinely not ANSI-SQL-expressible) ---
 
 def _heli_identify_docs(spark, sf):
@@ -365,6 +426,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posting_lists": _posting_lists,
         "scrub_stats": _scrub_stats,
         "keep_drop_rules": _keep_drop_rules,
+        "events_json": _events_json,
+        "orders_by_month": _orders_by_month,
+        "revenue_rollup": _revenue_rollup,
+        "customer_set_ops": _customer_set_ops,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -548,6 +613,37 @@ WITH q AS (
   FROM documents
 )
 SELECT source, count(*) AS n_docs, sum(keep) AS n_keep FROM q GROUP BY source""",
+        "events_json": """
+SELECT event_type, count(*) AS n,
+       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
+       max(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type""",
+        "orders_by_month": """
+SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total,
+       round(sqrt(avg(o_totalprice)), 4) AS sqrt_avg
+FROM orders GROUP BY yr, mo""",
+        "revenue_rollup": """
+SELECT r_name, n_name, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)""",
+        "customer_set_ops": """
+SELECT c_custkey, 'active_rich' AS tag FROM (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS tag FROM (
+  SELECT c_custkey FROM customer
+  EXCEPT ALL
+  SELECT DISTINCT o_custkey FROM orders
+)""",
         "dedup_exact": f"""
 WITH f AS (SELECT doc_id, {fp_sql} AS fp FROM documents),
 g AS (SELECT doc_id, fp,

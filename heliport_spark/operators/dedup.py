@@ -100,20 +100,22 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     Output (id_a, id_b) with id_a < id_b, distinct."""
     rows_per_band = len(MINHASH_PARAMS) // bands
     mh = _minhash_wide(df, text_col, id_col, n_shingle)
-    band_rows = []
+    # all band signatures in ONE projection + explode — a per-band
+    # select+union would re-execute the minhash aggregate once per band
+    band_structs = []
     for band in range(bands):
         cols = [
             F.col(f"mh{i}").cast("string")
             for i in range(band * rows_per_band, (band + 1) * rows_per_band)
         ]
-        band_rows.append(
-            mh.select(
-                "id", F.lit(band).alias("band"), F.concat_ws(",", *cols).alias("sig")
+        band_structs.append(
+            F.struct(
+                F.lit(band).alias("band"), F.concat_ws(",", *cols).alias("sig")
             )
         )
-    sig = band_rows[0]
-    for extra in band_rows[1:]:
-        sig = sig.unionByName(extra)
+    sig = mh.select("id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
     a = sig.alias("a")
     b = sig.alias("b")
     return (
