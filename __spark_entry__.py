@@ -402,6 +402,22 @@ def _quality_filter_clips(spark, sf):
     )
 
 
+def _audio_features(spark, sf):
+    """Waveform statistics over the binary PCM column (multimodal plumbing:
+    decode happens in Arrow batches, bytes never leave the executor)."""
+    from heliport_spark.functions.audio import audio_features_df
+    from heliport_spark.sources.clips import clips_from_documents
+
+    clips = clips_from_documents(spark, sf, with_golden=False, max_pcm_ms=500)
+    feats = audio_features_df(clips)
+    return feats.groupBy("sr_hz").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg("rms"), 4).alias("avg_rms"),
+        F.round(F.avg("peak"), 4).alias("avg_peak"),
+        F.sum("n_samples").alias("total_samples"),
+    )
+
+
 def _ann_lsh(spark, sf):
     from heliport_spark.operators.similarity import lsh_ann_topk
 
@@ -440,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heli_identify_docs": _heli_identify_docs,
         "heli_topk_docs": _heli_topk_docs,
         "quality_filter_clips": _quality_filter_clips,
+        "audio_features": _audio_features,
         "ann_lsh": _ann_lsh,
     }
 
