@@ -56,6 +56,72 @@ def start_pipeline_stream(
     )
 
 
+def streaming_exact_dedup(
+    clips_stream: DataFrame,
+    text_col: str = "transcript",
+    id_col: str = "clip_id",
+    n_buckets: int = 64,
+):
+    """Custom stateful streaming operator: exact dedup across the whole
+    stream via ``applyInPandasWithState``.
+
+    State is partitioned by a fingerprint hash bucket (bounded cardinality →
+    bounded state partitions); each bucket's state holds the set of
+    fingerprints already emitted. First occurrence passes through, later
+    duplicates are dropped — across triggers, surviving restarts through the
+    checkpoint. This is the streaming twin of operators/dedup.exact_dedup.
+    """
+    from pyspark.sql.streaming.state import GroupState
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    import pandas as pd
+
+    out_schema = StructType(
+        [
+            StructField(id_col, StringType()),
+            StructField(text_col, StringType()),
+            StructField("fp", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", StringType())])
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        seen = set()
+        if state.exists:
+            (blob,) = state.get
+            if blob:
+                seen = set(blob.split("\x00"))
+        rows_id, rows_text, rows_fp = [], [], []
+        for pdf in pdfs:
+            for cid, text, fp in zip(pdf[id_col], pdf[text_col], pdf["fp"]):
+                if fp not in seen:
+                    seen.add(fp)
+                    rows_id.append(cid)
+                    rows_text.append(text)
+                    rows_fp.append(fp)
+        state.update(("\x00".join(sorted(seen)),))
+        yield pd.DataFrame({id_col: rows_id, text_col: rows_text, "fp": rows_fp})
+
+    from ..functions.text import fingerprint
+
+    with_fp = clips_stream.select(
+        F.col(id_col),
+        F.col(text_col),
+        fingerprint(F.col(text_col)).alias("fp"),
+    ).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col("fp")), F.lit(n_buckets)).cast("int"),
+    )
+    return with_fp.groupBy("bucket").applyInPandasWithState(
+        dedup_fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
 def windowed_lang_counts(
     scored_stream: DataFrame,
     event_time_col: str = "event_time",

@@ -42,6 +42,51 @@ def test_streaming_pipeline(spark, stream_dirs):
     assert spa and spa[0]["lang"] == "spa"
 
 
+def test_streaming_stateful_dedup(spark):
+    """Duplicates arriving in a LATER trigger are dropped by the
+    applyInPandasWithState operator (state survives across micro-batches)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from heliport_spark.streaming.stream import streaming_exact_dedup
+
+    base = tempfile.mkdtemp(prefix="hs_dedup_stream_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    try:
+        clips = golden_clips(spark).filter(F.length("transcript") > 0)
+        # first file: rows as-is
+        clips.write.mode("overwrite").parquet(in_dir)
+        stream = stream_clips_from_directory(spark, in_dir, max_files_per_trigger=100)
+        deduped = streaming_exact_dedup(stream)
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n1 = spark.read.parquet(out_dir).count()
+            # second drop: same transcripts, new clip_ids → all duplicates
+            clips.withColumn(
+                "clip_id", F.concat(F.lit("dup-"), F.col("clip_id"))
+            ).write.mode("append").parquet(in_dir)
+            q.processAllAvailable()
+            time.sleep(1)
+            out = spark.read.parquet(out_dir)
+            n2 = out.count()
+        finally:
+            q.stop()
+        expected = clips.select("transcript").distinct().count()
+        assert n1 == expected
+        assert n2 == n1  # nothing new emitted for the duplicate batch
+        assert out.select("fp").distinct().count() == n2
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_windowed_lang_counts_plan(spark):
     # watermark + window aggregation compiles against a streaming source
     clips = golden_clips(spark).withColumn(
