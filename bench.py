@@ -79,7 +79,7 @@ def run_bench() -> dict:
     return out
 
 
-SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "40"))
+SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "160"))
 SCALING_CLIPS = f"/tmp/heliport_scaling_clips_{_sf_label(SF_DIR)}_{SCALING_REPLICATE}"
 
 
