@@ -91,6 +91,7 @@ def compile_model(
     out_dir: "str | Path" = None,
     langs: "list[str] | None" = None,
     verbose: bool = True,
+    strict_confidence: bool = True,
 ) -> Path:
     src = Path(src_dir)
     if out_dir is None:
@@ -161,7 +162,8 @@ def compile_model(
             )
         del all_hashes, all_langid, all_prob, gram_set
 
-    np.save(out / "confidence.npy", load_confidence(src / "confidenceThresholds"))
+    np.save(out / "confidence.npy",
+            load_confidence(src / "confidenceThresholds", strict=strict_confidence))
     np.save(out / "keep_table.npy", chartables.build_keep_table())
     np.save(out / "cjk_table.npy", chartables.build_cjk_table())
     (out / "meta.json").write_text(
@@ -186,5 +188,8 @@ if __name__ == "__main__":  # pragma: no cover
     ap.add_argument("--src", default=str(DEFAULT_SRC))
     ap.add_argument("--out", default=None)
     ap.add_argument("--langs", default=None, help="comma-separated subset")
+    ap.add_argument("-n", "--not-strict", action="store_true",
+                    help="allow missing confidence thresholds (reference -n)")
     a = ap.parse_args()
-    compile_model(a.src, a.out, a.langs.split(",") if a.langs else None)
+    compile_model(a.src, a.out, a.langs.split(",") if a.langs else None,
+                  strict_confidence=not a.not_strict)
