@@ -353,6 +353,22 @@ def _revenue_rollup(spark, sf):
     )
 
 
+def _parts_never_ordered(spark, sf):
+    """Left-anti join (NOT EXISTS): parts never ordered in large quantity
+    (the filter is pushed below the anti-join's build side)."""
+    p = _t(spark, sf, "part")
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_partkey")
+        .distinct()
+    )
+    return (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
 def _customer_set_ops(spark, sf):
     """INTERSECT / EXCEPT (SURVEY §2.5 category): customers with orders vs
     high-balance customers, tagged and unioned."""
@@ -446,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_month": _orders_by_month,
         "revenue_rollup": _revenue_rollup,
         "customer_set_ops": _customer_set_ops,
+        "parts_never_ordered": _parts_never_ordered,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -661,6 +678,10 @@ SELECT c_custkey, 'no_orders' AS tag FROM (
   EXCEPT ALL
   SELECT DISTINCT o_custkey FROM orders
 )""",
+        "parts_never_ordered": """
+SELECT p_partkey, p_name, p_brand FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity > 45)""",
         "dedup_exact": f"""
 WITH f AS (SELECT doc_id, {fp_sql} AS fp FROM documents),
 g AS (SELECT doc_id, fp,

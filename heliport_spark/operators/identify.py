@@ -114,39 +114,26 @@ def identify_topk_df(
     model_dir: "str | None" = None,
 ) -> DataFrame:
     """Append ``topk: array<struct<lang:string, score:float>>`` (C6 semantics:
-    raw scores ascending, macrolang-collapsed, no confidence)."""
+    raw scores ascending, macrolang-collapsed, no confidence). Same lean
+    transfer shape as identify_df: only the text column enters Python."""
     from pyspark.sql.types import ArrayType
 
     mdir = resolve_model_dir(model_dir)
-    out_schema = StructType(
-        list(df.schema.fields)
-        + [
-            StructField(
-                "topk",
-                ArrayType(
-                    StructType(
-                        [
-                            StructField("lang", StringType()),
-                            StructField("score", FloatType()),
-                        ]
-                    )
-                ),
-            )
-        ]
+    elem = StructType(
+        [StructField("lang", StringType()), StructField("score", FloatType())]
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    @F.pandas_udf(returnType=ArrayType(elem))
+    def topk_udf(texts: pd.Series) -> pd.Series:
         scorer = _get_worker_scorer(mdir, False)
-        for pdf in batches:
-            col = [
+        return pd.Series(
+            [
                 scorer.identify_topk("" if t is None else str(t), k)
-                for t in pdf[text_col]
+                for t in texts
             ]
-            pdf = pdf.copy(deep=False)
-            pdf["topk"] = col
-            yield pdf
+        )
 
-    return df.mapInPandas(run, schema=out_schema)
+    return df.withColumn("topk", topk_udf(F.col(text_col)))
 
 
 def format_cli_output(df: DataFrame, precision: int = 4,
