@@ -258,10 +258,16 @@ def _dedup_exact(spark, sf):
     return exact_dedup(_t(spark, sf, "documents"))
 
 
+def _docs_repart(spark, sf):
+    """documents is one small file = one split; spread explode-heavy stages."""
+    par = spark.sparkContext.defaultParallelism
+    return _t(spark, sf, "documents").repartition(par, "doc_id")
+
+
 def _dedup_minhash_lsh(spark, sf):
     from heliport_spark.operators.dedup import minhash_lsh_candidates
 
-    return minhash_lsh_candidates(_t(spark, sf, "documents"))
+    return minhash_lsh_candidates(_docs_repart(spark, sf))
 
 
 def _dedup_ngram_jaccard(spark, sf):
@@ -270,7 +276,7 @@ def _dedup_ngram_jaccard(spark, sf):
         ngram_jaccard_pairs,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _docs_repart(spark, sf)
     cands = minhash_lsh_candidates(d)
     return ngram_jaccard_pairs(d, candidates=cands, threshold=0.3)
 
@@ -278,7 +284,7 @@ def _dedup_ngram_jaccard(spark, sf):
 def _simhash(spark, sf):
     from heliport_spark.operators.dedup import simhash
 
-    return simhash(_t(spark, sf, "documents"))
+    return simhash(_docs_repart(spark, sf))
 
 
 def _ann_bruteforce(spark, sf):

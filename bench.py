@@ -55,16 +55,30 @@ def run_bench() -> dict:
     # JVM/model warmup on the tiny sf so first-query timing isn't JIT noise
     qs["heli_identify_docs"](spark, "/root/testdata/sf0.001").count()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
     clips_per_sec = None
     for name in HEADLINE:
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        dt = time.time() - t0
-        times[name] = round(dt, 3)
+        best, n = None, 0
+        for _ in range(reps):  # min-of-N: shared-host CPU steal is bursty
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
         if name == "quality_filter_clips":
             # rows processed = clips table size (output == input rows)
-            clips_per_sec = round(n / dt, 1)
+            clips_per_sec = round(n / best, 1)
+    # steady-state pipeline throughput on a materialized clips table
+    # (quality_filter_clips above includes fixture PCM synthesis; this one
+    # measures the pipeline itself, which is what a cluster would run)
+    path = ensure_scaling_clips(spark)
+    _timed_pipeline_run(spark, path)
+    best, nrows = None, 0
+    for _ in range(reps):
+        nrows, dt = _timed_pipeline_run(spark, path)
+        best = dt if best is None else min(best, dt)
+    times["pipeline_materialized"] = round(best, 3)
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_suite_total",
@@ -74,6 +88,8 @@ def run_bench() -> dict:
         "sf": _sf_label(SF_DIR),
         "cpus": CPUS,
         "clips_per_sec": clips_per_sec,
+        "pipeline_clips_per_sec": round(nrows / best, 1),
+        "pipeline_rows": nrows,
     }
     spark.stop()
     return out
