@@ -164,3 +164,40 @@ def test_counters_match_data(spark):
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_salting_splits_hot_language(spark):
+    """D8: the salted partial aggregate must split a hot language across
+    salt buckets so no single reducer sees all of it (AQE's skew-join split
+    does not cover aggregations — this is the manual mitigation)."""
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    df = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("clip-"), F.col("id")).alias("clip_id"),
+            # 90% eng (hot), 10% spread
+            F.when(F.col("id") % 10 < 9, F.lit("eng"))
+            .otherwise(F.concat(F.lit("l"), (F.col("id") % 7).cast("string")))
+            .alias("lang"),
+            F.lit(True).alias("keep"),
+            F.lit(0.5).alias("confidence"),
+        )
+    )
+    from heliport_spark.pipeline import lang_stats
+
+    salt_buckets = 16
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("clip_id")), F.lit(salt_buckets))
+    )
+    partial_groups = (
+        salted.groupBy("lang", "_salt").count().filter(F.col("lang") == "eng")
+    )
+    n_groups = partial_groups.count()
+    assert n_groups == salt_buckets  # hot key split across all salt buckets
+    counts = [r["count"] for r in partial_groups.collect()]
+    assert max(counts) < 0.95 * n  # no reducer sees ~all of eng
+    # and the final aggregate is still exact
+    stats = {r["lang"]: r for r in lang_stats(df, salt_buckets).collect()}
+    assert stats["eng"]["n_clips"] == 9_000
