@@ -408,19 +408,109 @@ class Scorer:
         labels, scores, _, _ = self.identify_batch([text], ignore_confidence)
         return str(labels[0]), float(scores[0])
 
-    def ft_identify_batch(self, texts):
-        """fastText-style cross-check (SURVEY.md §2.6 D3): hashed char-4-gram
-        bag → linear scores → softmax probability.
+    def _ft_params(self):
+        """Lazy-load the trained fastText-style artifact (ft_train.py):
+        (M (B,242) f32, bias (242,) f32, B) or None when not compiled."""
+        if not hasattr(self, "_ft_loaded"):
+            import os
 
-        A deliberately *different* classifier from HeLI: no back-off cascade,
-        single fixed order, bag-of-hashed-ngrams linear model whose weights
-        are the compiled quadgram table (analytically set, no SGD — the
-        sandbox has no fasttext binary; this is a from-scratch stand-in).
+            d = self.model.dir
+            mp, bp = d / "ft_M.npy", d / "ft_b.npy"
+            if os.path.exists(mp) and os.path.exists(bp):
+                M = np.load(mp, mmap_mode="r")
+                bias = np.load(bp)
+                self._ft_loaded = (M, bias, M.shape[0])
+            else:
+                self._ft_loaded = None
+        return self._ft_loaded
+
+    def ft_identify_batch(self, texts):
+        """fastText-style cross-check (SURVEY.md §2.6 D3).
+
+        Primary path: the *trained* classifier from ft_train.py — hashed
+        char 2-5-gram buckets, mean-pooled bucket weights, softmax (numpy
+        full-batch GD on corpus synthesized from the word models; no
+        fasttext binary exists in this sandbox). Falls back to the
+        quadgram-table linear scorer when the ft artifact is absent (e.g.
+        freshly trained mini-models).
+
         Disagreement with the HeLI label is surfaced as a rule flag only —
         it never overrides the HeLI decision (F1-parity requirement).
 
         Returns (ft_lang object[n], ft_prob f32[n]).
         """
+        params = self._ft_params()
+        if params is not None:
+            return self._ft_trained_batch(texts, params)
+        return self._ft_fallback_batch(texts)
+
+    def _ft_trained_batch(self, texts, params):
+        """Mean-pooled bucket logits, accumulated word-wise: per distinct
+        word cache Σ M[buckets(word)] (a (242,) vector) and its bucket
+        count; a text's logits = (Σ_w vec_w) / (Σ_w k_w) + bias. Same
+        counts-matrix sgemm structure as the HeLI fast path."""
+        from .ft_train import word_buckets
+
+        M, bias, _B = params
+        memo = getattr(self, "_memo_ftb", None)
+        if memo is None:
+            memo = self._memo_ftb = {}
+        n = len(texts)
+        tokens, tok_text, bounds, _, _ = self.preprocess_batch(list(texts))
+        lang_idx = np.full(n, ZXX, dtype=np.int64)
+        prob = np.zeros(n, dtype=np.float32)
+        if not tokens:
+            return LANGS_ARR[lang_idx], prob
+        import pandas as pd
+
+        flat_ids, uniques = pd.factorize(
+            np.asarray(tokens, dtype=object), use_na_sentinel=False
+        )
+        flat_ids = flat_ids.astype(np.int64, copy=False)
+        u = len(uniques)
+        V = np.empty((u, N_LANGS), dtype=np.float32)
+        K = np.empty(u, dtype=np.float32)
+        for li, w in enumerate(uniques):
+            e = memo.get(w)
+            if e is None:
+                bk = word_buckets(w)
+                e = (
+                    M[bk].sum(axis=0).astype(np.float32)
+                    if len(bk)
+                    else np.zeros(N_LANGS, dtype=np.float32),
+                    np.float32(len(bk)),
+                )
+                memo[w] = e
+            V[li] = e[0]
+            K[li] = e[1]
+        # per-text sums via dense counts matrix (vocab is batch-bounded)
+        if n * u <= 12_000_000 and u <= 20_000:
+            key = tok_text * u + flat_ids
+            C = (
+                np.bincount(key, minlength=n * u)
+                .reshape(n, u)
+                .astype(np.float32)
+            )
+            num = C @ V
+            den = C @ K
+        else:
+            num = np.zeros((n, N_LANGS), dtype=np.float32)
+            np.add.at(num, tok_text, V[flat_ids])
+            den = np.bincount(
+                tok_text, weights=K[flat_ids].astype(np.float64), minlength=n
+            ).astype(np.float32)
+        has = den > 0
+        L = np.where(has[:, None], num / np.where(has, den, 1.0)[:, None], 0.0)
+        L = L + bias
+        L -= L.max(axis=1, keepdims=True)
+        np.exp(L, out=L)
+        L /= L.sum(axis=1, keepdims=True)
+        wi = L.argmax(axis=1)
+        lang_idx = np.where(has, _COLLAPSE_I[wi], ZXX)
+        prob = np.where(has, L[np.arange(n), wi], 0.0).astype(np.float32)
+        return LANGS_ARR[lang_idx], prob
+
+    def _ft_fallback_batch(self, texts):
         t = 4
         ot = self.model.orders[t]
         memo = self._memo_ft if hasattr(self, "_memo_ft") else {}
