@@ -6,10 +6,11 @@ Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., ...extras}
 
---scaling: run the flagship clip pipeline at local[8] and local[32] in
-subprocesses on the SAME input and report throughput at both plus scaling
-efficiency (sandbox stand-in for N vs 4N executors, per BASELINE.json
-north_rule) — results appended to BENCH.md.
+--scaling: run the flagship clip pipeline across a parallelism ladder
+(local[2]/local[8]/local[32]) in subprocesses on the SAME materialized
+input and report throughput per level plus N→4N scaling efficiencies and a
+hardware spin-loop baseline (sandbox stand-in for N vs 4N executors, per
+BASELINE.json north_rule) — summarized in BENCH.md.
 """
 
 from __future__ import annotations
