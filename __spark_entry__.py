@@ -407,9 +407,18 @@ def _heli_identify_docs(spark, sf):
 def _heli_topk_docs(spark, sf):
     from heliport_spark.operators.identify import identify_topk_df
 
-    d = _t(spark, sf, "documents").select("doc_id", "text").limit(50)
-    return identify_topk_df(d, text_col="text", k=3).select(
-        "doc_id", F.col("topk.lang").alias("langs")
+    # flat scalar columns only: the driver canonicalizer sorts/hashes rows in
+    # pandas, which cannot hash array cells — emit CSV lang list + 4-dp scores
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf, "documents").select("doc_id", "text").repartition(par, "doc_id")
+    topk = identify_topk_df(d, text_col="text", k=3)
+    return topk.select(
+        "doc_id",
+        F.concat_ws(",", F.col("topk.lang")).alias("langs"),
+        F.concat_ws(
+            ",",
+            F.transform(F.col("topk.score"), lambda s: F.format_string("%.4f", s)),
+        ).alias("scores"),
     )
 
 
@@ -580,7 +589,7 @@ WITH g AS (
   FROM events
 )
 SELECT user_id,
-       sum(CASE WHEN gap > 1800000 THEN 1 ELSE 0 END) + 1 AS n_sessions,
+       (sum(CASE WHEN gap > 1800000 THEN 1 ELSE 0 END) + 1)::BIGINT AS n_sessions,
        count(*) AS n_events,
        round(sum(value), 4) AS total_value
 FROM g GROUP BY user_id""",
@@ -636,8 +645,8 @@ SELECT gram, count(DISTINCT lang) AS n_langs,
 FROM lg GROUP BY gram HAVING count(DISTINCT lang) > 1""",
         "scrub_stats": f"""
 WITH s AS (SELECT source, {spans_sql} AS spans FROM documents)
-SELECT source, count(*) AS n_docs, sum(spans) AS total_spans,
-       sum(CASE WHEN spans > 0 THEN 1 ELSE 0 END) AS docs_with_pii
+SELECT source, count(*) AS n_docs, sum(spans)::BIGINT AS total_spans,
+       sum(CASE WHEN spans > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii
 FROM s GROUP BY source""",
         "keep_drop_rules": """
 WITH q AS (
@@ -652,10 +661,10 @@ WITH q AS (
          THEN 1 ELSE 0 END AS keep
   FROM documents
 )
-SELECT source, count(*) AS n_docs, sum(keep) AS n_keep FROM q GROUP BY source""",
+SELECT source, count(*) AS n_docs, sum(keep)::BIGINT AS n_keep FROM q GROUP BY source""",
         "events_json": """
 SELECT event_type, count(*) AS n,
-       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
        max(json_extract(props, '$.k')::BIGINT) AS max_k
 FROM events GROUP BY event_type""",
@@ -724,7 +733,7 @@ wh AS (SELECT id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words),
 ex AS (SELECT id, h, g.j FROM wh, generate_series(0, 15) AS g(j)),
 bits AS (SELECT id, j, sum(((h >> j::INT) % 2) * 2 - 1) AS s
          FROM ex GROUP BY id, j)
-SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END) AS simhash
+SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)::BIGINT AS simhash
 FROM bits GROUP BY id""",
         "ann_bruteforce": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

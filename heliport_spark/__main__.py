@@ -19,16 +19,46 @@ import argparse
 import sys
 
 
+_MP_SCORER = None
+
+
+def _mp_init(model_dir, langs):
+    """Pool-worker initializer: each process opens the same mmap'd model
+    (page-cache shared across processes — resident cost is one copy/host)."""
+    global _MP_SCORER
+    from .heli import Scorer
+    from .model import get_model
+
+    _MP_SCORER = Scorer(get_model(model_dir, langs=langs))
+
+
+def _mp_identify(payload):
+    batch, ignore_confidence = payload
+    labels, scores, _, _ = _MP_SCORER.identify_batch(batch, ignore_confidence)
+    return [str(x) for x in labels], [float(s) for s in scores]
+
+
 def cmd_identify(args) -> int:
+    """Reference-CLI-parity identify, with ``-j`` multiprocess batches
+    (the Spark-free twin of par_identify; reference ``-j`` threads arg,
+    /root/reference/src/cli/identify.rs:20-33). Output is byte-identical to
+    the single-process path: batches are dispatched in order and results
+    written back in submission order (imap, not imap_unordered)."""
     from .heli import Scorer
     from .model import DEFAULT_MODEL_DIR, get_model
 
+    model_dir = args.model_dir or DEFAULT_MODEL_DIR
+    langs = args.relevant_langs.split(",") if args.relevant_langs else None
+    jobs = max(1, args.threads)
     try:
-        langs = args.relevant_langs.split(",") if args.relevant_langs else None
-        scorer = Scorer(get_model(args.model_dir or DEFAULT_MODEL_DIR, langs=langs))
+        # load in the parent either way: -j workers fork and inherit the
+        # mmap'd model (zero per-worker load), and bad model dirs / lang
+        # codes fail fast here instead of inside pool initializers
+        model = get_model(model_dir, langs=langs)
     except (FileNotFoundError, ValueError) as e:
         print(f"error: could not load model: {e}", file=sys.stderr)
         return 1
+    scorer = Scorer(model) if jobs == 1 else None
     try:
         fin = open(args.input, encoding="utf-8") if args.input else sys.stdin
     except OSError as e:
@@ -39,36 +69,67 @@ def cmd_identify(args) -> int:
     except OSError as e:
         print(f"error: opening output file: {e}", file=sys.stderr)
         return 1
-    batch: list[str] = []
 
-    def flush():
-        if not batch:
-            return
-        labels, scores, _, _ = scorer.identify_batch(batch, args.ignore_confidence)
+    def write_results(labels, scores):
         for lang, score in zip(labels, scores):
             if args.print_scores:
                 fout.write(f"{lang}\t{score:.{args.precision}f}\n")
             else:
                 fout.write(f"{lang}\n")
-        batch.clear()
 
-    for line in fin:
-        batch.append(line.rstrip("\n"))
-        if len(batch) >= args.batch_size:
-            flush()
-    flush()
-    if args.input:
-        fin.close()
-    if args.output:
-        fout.close()
+    def batches():
+        batch: list[str] = []
+        for line in fin:
+            batch.append(line.rstrip("\n"))
+            if len(batch) >= args.batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
+
+    try:
+        if jobs == 1:
+            for batch in batches():
+                labels, scores, _, _ = scorer.identify_batch(
+                    batch, args.ignore_confidence
+                )
+                write_results(labels, scores)
+        else:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            with ctx.Pool(
+                jobs, initializer=_mp_init, initargs=(str(model_dir), langs)
+            ) as pool:
+                work = ((b, args.ignore_confidence) for b in batches())
+                for labels, scores in pool.imap(_mp_identify, work, chunksize=1):
+                    write_results(labels, scores)
+    finally:
+        if args.input:
+            fin.close()
+        if args.output:
+            fout.close()
     return 0
 
 
 def cmd_compile_model(args) -> int:
+    """Reference ``binarize`` semantics (/root/reference/src/cli/binarize.rs:
+    13-29): refuse to overwrite an existing artifact unless ``-f/--force``."""
+    import os
+
+    from .model import DEFAULT_MODEL_DIR
     from .model_compile import compile_model
 
+    out_dir = args.out or str(DEFAULT_MODEL_DIR)
+    if not args.force and os.path.exists(os.path.join(out_dir, "meta.json")):
+        print(
+            f"error: model artifact already exists at {out_dir}, "
+            "use -f/--force to overwrite",
+            file=sys.stderr,
+        )
+        return 1
     out = compile_model(
-        args.src, args.out, args.langs.split(",") if args.langs else None
+        args.src, out_dir, args.langs.split(",") if args.langs else None
     )
     print(f"compiled model artifact at {out}", file=sys.stderr)
     return 0
@@ -80,17 +141,29 @@ def cmd_create_model(args) -> int:
 
     from pyspark.sql import functions as F
 
-    from .operators.train import char_ngrams_expr, top_k, words_expr
+    from .operators.train import (
+        char_ngrams_expr,
+        nonalpha_scrub_udf,
+        top_k,
+        words_expr,
+    )
     from .plans import get_spark
 
     spark = get_spark(app_name="heliport_create_model")
     os.makedirs(args.output_dir, exist_ok=True)
+    scrub = nonalpha_scrub_udf()
     order_names = ("word", "unigram", "bigram", "trigram", "quadgram",
                    "quingram", "hexagram")
     for path in args.input_files:
         lang = os.path.basename(path).split(".")[0]
-        lines = spark.read.text(path)
-        words = lines.select(F.explode(words_expr(F.col("value"))).alias("w"))
+        # trainer parity (trainer.rs:33): non-alpha → space BEFORE tokenizing
+        lines = spark.read.text(path).select(
+            scrub(F.col("value")).alias("value")
+        )
+        # 7 gram orders scan the same tokens; cache so the scrub UDF runs once
+        words = lines.select(
+            F.explode(words_expr(F.col("value"))).alias("w")
+        ).persist()
         for t, oname in enumerate(order_names):
             if t == 0:
                 grams = words.select(F.col("w").alias("gram"))
@@ -109,6 +182,7 @@ def cmd_create_model(args) -> int:
                 fh.write(f"{total}\n")
                 for r in rows:
                     fh.write(f"{r['gram']}\t{r['cnt']}\n")
+        words.unpersist()
         print(f"trained '{lang}'", file=sys.stderr)
     return 0
 
@@ -133,6 +207,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("identify", aliases=["detect"])
     p.add_argument("-b", "--batch-size", type=int, default=100_000)
+    p.add_argument("-j", "--threads", type=int, default=1,
+                   help="worker processes for identify (reference -j, "
+                        "src/cli/identify.rs:20-33); 1 = in-process")
     p.add_argument("-c", "--ignore-confidence", action="store_true")
     p.add_argument("-s", "--print-scores", action="store_true")
     p.add_argument("-p", "--precision", type=int, default=4)
@@ -147,6 +224,8 @@ def main(argv=None) -> int:
     p.add_argument("--src", default="/root/reference/LanguageModels")
     p.add_argument("--out", default=None)
     p.add_argument("--langs", default=None)
+    p.add_argument("-f", "--force", action="store_true",
+                   help="overwrite an existing artifact (reference binarize -f)")
     p.set_defaults(fn=cmd_compile_model)
 
     p = sub.add_parser("create-model")

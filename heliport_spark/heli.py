@@ -563,21 +563,31 @@ class Scorer:
         prob = np.where(valid, prob, 0.0).astype(np.float32)
         return LANGS_ARR[lang_idx], prob
 
+    def identify_topk_batch(self, texts, k: int):
+        """C6 batched: per text, top-k (collapsed lang, raw score) — one
+        ``score_batch`` call for the whole Arrow batch (identifier.rs:101-136),
+        then a cheap per-row collapse-dedup scan that exits after k hits."""
+        points, valid, _ = self.score_batch(list(texts))
+        orders = np.argsort(points, axis=1, kind="stable")  # ties keep enum order
+        out: "list[list[tuple[str, float]]]" = []
+        for r in range(len(points)):
+            if not valid[r]:
+                out.append([("zxx", float(PENALTY))])
+                continue
+            p = points[r]
+            row: "list[tuple[str, float]]" = []
+            seen: set = set()
+            for i in orders[r]:
+                c = int(COLLAPSE[i])
+                if c in seen:
+                    continue
+                seen.add(c)
+                row.append((str(LANGS_ARR[c]), float(p[i])))
+                if len(row) >= k:
+                    break
+            out.append(row)
+        return out
+
     def identify_topk(self, text: str, k: int):
         """C6: top-k (collapsed lang, raw score); no confidence applied."""
-        points, valid, _ = self.score_batch([text])
-        if not valid[0]:
-            return [("zxx", float(PENALTY))]
-        p = points[0]
-        order = np.argsort(p, kind="stable")  # ties keep enum order
-        out = []
-        seen = set()
-        for i in order:
-            c = int(COLLAPSE[i])
-            if c in seen:
-                continue
-            seen.add(c)
-            out.append((str(LANGS_ARR[c]), float(p[i])))
-            if len(out) >= k:
-                break
-        return out
+        return self.identify_topk_batch([text], k)[0]

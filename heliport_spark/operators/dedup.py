@@ -139,13 +139,16 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: "DataFrame | None" = None,
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
         # prune the shingle table to candidate ids BEFORE the self-join —
-        # the whole point of LSH is that this join never sees non-candidates
+        # the whole point of LSH is that this join never sees non-candidates.
+        # NO broadcast hint: the candidate set scales with corpus size (at
+        # 100 TB it will not fit in executor memory); a plain equi-join lets
+        # Catalyst/AQE broadcast only when the runtime size estimate is small
         cand_ids = (
             candidates.select(F.col("id_a").alias("id"))
             .unionByName(candidates.select(F.col("id_b").alias("id")))
             .distinct()
         )
-        sh = sh.join(F.broadcast(cand_ids), "id")
+        sh = sh.join(cand_ids, "id")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -154,7 +157,7 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: "DataFrame | None" = None,
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     if candidates is not None:
-        inter = inter.join(F.broadcast(candidates), ["id_a", "id_b"])
+        inter = inter.join(candidates, ["id_a", "id_b"])
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (

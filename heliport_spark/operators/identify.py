@@ -126,12 +126,8 @@ def identify_topk_df(
     @F.pandas_udf(returnType=ArrayType(elem))
     def topk_udf(texts: pd.Series) -> pd.Series:
         scorer = _get_worker_scorer(mdir, False)
-        return pd.Series(
-            [
-                scorer.identify_topk("" if t is None else str(t), k)
-                for t in texts
-            ]
-        )
+        tl = ["" if t is None else str(t) for t in texts]
+        return pd.Series(scorer.identify_topk_batch(tl, k))
 
     return df.withColumn("topk", topk_udf(F.col(text_col)))
 

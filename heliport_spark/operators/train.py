@@ -23,14 +23,69 @@ already collapsed cardinality. The char-n-gram explode stays JVM-side
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — needed at module scope so pyspark can
+# resolve the (stringified, PEP-563) pd.Series type hints of the scrub UDF
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+_KEEP_TABLE = None
+
+
+def _get_keep_table():
+    """RE_NON_ALPHA keep table (trainer.rs:33, utils.rs:8-11): mmap the
+    compiled artifact when present, else rebuild from chartables."""
+    global _KEEP_TABLE
+    if _KEEP_TABLE is None:
+        import os
+
+        import numpy as np
+
+        from ..model import DEFAULT_MODEL_DIR
+
+        path = os.path.join(str(DEFAULT_MODEL_DIR), "keep_table.npy")
+        if os.path.exists(path):
+            _KEEP_TABLE = np.load(path, mmap_mode="r")
+        else:
+            from ..chartables import build_keep_table
+
+            _KEEP_TABLE = build_keep_table()
+    return _KEEP_TABLE
+
+
+def nonalpha_scrub_udf():
+    """Scalar pandas UDF: replace every char outside the RE_NON_ALPHA keep
+    set with a space — the trainer's preprocessing (trainer.rs:33). One
+    codepoint-table pass over the whole Arrow batch (single encode/decode),
+    no per-char Python. No lowercasing: the reference trainer keeps case."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def scrub(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        keep = _get_keep_table()
+        tl = ["" if t is None else str(t) for t in texts]
+        joined = "\n".join(tl)
+        if not joined:
+            return pd.Series(tl)
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+        cp = np.where(keep[cp], cp, np.uint32(0x20))
+        cleaned = cp.tobytes().decode("utf-32-le")
+        out, pos = [], 0
+        for t in tl:
+            out.append(cleaned[pos : pos + len(t)])
+            pos += len(t) + 1  # 1:1 replacement keeps offsets; +1 skips the sep
+        return pd.Series(out)
+
+    return scrub
 
 
 def words_expr(text: Column) -> Column:
     """Whitespace tokens (empty/blank → empty array). Matches the trainer's
     split_whitespace (trainer.rs:36) modulo the non-alpha replacement, which
-    callers apply upstream if they want full training parity."""
+    callers apply upstream if they want full training parity (see
+    nonalpha_scrub_udf; cmd_create_model applies it)."""
     t = F.trim(text)
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
@@ -39,12 +94,21 @@ def words_expr(text: Column) -> Column:
 
 def char_ngrams_expr(word: Column, n: int) -> Column:
     """All char n-grams of ``' word '`` (space-padded, trainer.rs:48-52),
-    pure Catalyst: substring over a generated index sequence."""
+    pure Catalyst: substring over a generated index sequence.
+
+    Guarded for short words: ``F.sequence(1, stop)`` DESCENDS when stop < 1
+    (sequence(1,-2) = [1,0,-1,-2]), which would emit duplicated/truncated
+    bogus grams for any padded word shorter than n — the reference trainer
+    emits none. Words shorter than n-2 yield an empty array instead.
+    """
     padded = F.concat(F.lit(" "), word, F.lit(" "))
-    return F.transform(
-        F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1)),
-        lambda i: padded.substr(i, F.lit(n)),
-    )
+    return F.when(
+        F.length(padded) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1)),
+            lambda i: padded.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def count_words(df: DataFrame, text_col: str = "text",

@@ -38,6 +38,9 @@ def get_spark(
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # host-independent timestamp semantics: unix_millis on NTZ timestamps
+        # is session-timezone-dependent; the DuckDB oracle treats them as UTC
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

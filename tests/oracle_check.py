@@ -1,47 +1,81 @@
 """Standalone Spark-vs-DuckDB oracle comparison (mirrors the driver's check).
 
 Usage: python tests/oracle_check.py [sf_dir] [query ...]
-Compares row count, column names, and the order-insensitive multiset of
-canonicalized row values for every query that has an oracle.
+
+Replicates the driver's canonicalizer: both results are converted to pandas,
+columns sorted by name, rows sorted by all columns, then compared CELL-EXACT
+— dtypes included, floats unrounded. This is deliberately stricter than a
+"same numbers" check: DuckDB's sum(INTEGER) is HUGEINT (→ float64/object in
+pandas) while Spark's is LONG, and that dtype drift fails the driver's value
+hash even when the numbers match (VERDICT r01 "What's wrong" #1). Flat scalar
+columns only — array cells are unhashable/unsortable in the driver too.
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
-from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def canon(v):
-    if v is None:
-        return None
-    if isinstance(v, Decimal):
-        v = float(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        # kill -0.0 and float repr noise at the comparison layer
-        return round(v, 9) + 0.0
-    if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
-    return v
+import numpy as np
+import pandas as pd
 
 
-def rows_to_multiset(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = {}
-    for r in rows:
-        key = tuple(canon(r[i]) for i in order)
-        out[key] = out.get(key, 0) + 1
-    return out
+def _canon_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-shaped canonical form: name-sorted columns, all-column row sort."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def compare_frames(sp: pd.DataFrame, dp: pd.DataFrame) -> "list[str]":
+    """Return a list of mismatch descriptions (empty = bit-exact match)."""
+    probs: list[str] = []
+    if len(sp) != len(dp):
+        probs.append(f"ROWCOUNT {len(sp)} vs {len(dp)}")
+    if sorted(sp.columns) != sorted(dp.columns):
+        probs.append(f"SCHEMA {sorted(sp.columns)} vs {sorted(dp.columns)}")
+    if probs:
+        return probs
+    sp, dp = _canon_frame(sp), _canon_frame(dp)
+    for c in sp.columns:
+        a, b = sp[c], dp[c]
+        # integer WIDTH is driver-tolerated (int32 year() vs BIGINT passed the
+        # r01 hash); int-vs-float / object is not (HUGEINT → float64/object)
+        if a.dtype.kind in "iu":
+            a = a.astype("int64")
+        if b.dtype.kind in "iu":
+            b = b.astype("int64")
+        if str(a.dtype) != str(b.dtype):
+            probs.append(f"DTYPE {c}: spark={a.dtype} duck={b.dtype}")
+            continue
+        if a.dtype.kind == "f":
+            ok = np.array_equal(a.to_numpy(), b.to_numpy(), equal_nan=True)
+        else:
+            av, bv = a.to_numpy(), b.to_numpy()
+            ok = bool(
+                np.all((av == bv) | (pd.isna(av) & pd.isna(bv)))
+            ) if len(av) else True
+        if not ok:
+            bad = [
+                (i, a.iloc[i], b.iloc[i])
+                for i in range(len(a))
+                if not (
+                    (pd.isna(a.iloc[i]) and pd.isna(b.iloc[i]))
+                    or a.iloc[i] == b.iloc[i]
+                )
+            ][:3]
+            probs.append(f"VALUES {c}: {bad}")
+    return probs
 
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+
+    import time
 
     import duckdb
 
@@ -52,6 +86,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
     for t in entrymod.TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -64,42 +99,33 @@ def main():
         if only and name not in only:
             continue
         sql = oracles.get(name)
-        import time
-
         t0 = time.time()
         df = fn(spark, sf_dir)
-        spark_rows = df.collect()
-        spark_cols = df.columns
+        sp = df.toPandas()
         dt_spark = time.time() - t0
         if sql is None:
-            print(f"{name}: rows-only, {len(spark_rows)} rows ({dt_spark:.1f}s)")
+            # rows-only queries still go through the driver canonicalizer:
+            # verify every cell is a hashable scalar (VERDICT r01 #2)
+            bad_cols = [
+                c for c in sp.columns
+                if len(sp) and isinstance(sp[c].iloc[0], (list, dict, np.ndarray))
+            ]
+            if bad_cols:
+                failures.append(name)
+                print(f"{name}: UNHASHABLE array/map columns {bad_cols}")
+            else:
+                print(f"{name}: rows-only, {len(sp)} rows ({dt_spark:.1f}s)")
             continue
         t0 = time.time()
-        res = con.execute(sql)
-        duck_cols = [d[0] for d in res.description]
-        duck_rows = res.fetchall()
+        dp = con.execute(sql).df()
         dt_duck = time.time() - t0
-        status = []
-        if len(spark_rows) != len(duck_rows):
-            status.append(f"ROWCOUNT {len(spark_rows)} vs {len(duck_rows)}")
-        if sorted(spark_cols) != sorted(duck_cols):
-            status.append(f"SCHEMA {sorted(spark_cols)} vs {sorted(duck_cols)}")
-        if not status:
-            ms_s = rows_to_multiset(spark_rows, spark_cols)
-            ms_d = rows_to_multiset(duck_rows, duck_cols)
-            if ms_s != ms_d:
-                only_s = {k: c for k, c in ms_s.items() if ms_d.get(k) != c}
-                only_d = {k: c for k, c in ms_d.items() if ms_s.get(k) != c}
-                status.append(
-                    f"VALUES spark-only={list(only_s.items())[:3]} "
-                    f"duck-only={list(only_d.items())[:3]}"
-                )
-        if status:
+        probs = compare_frames(sp, dp)
+        if probs:
             failures.append(name)
-            print(f"{name}: MISMATCH {' | '.join(status)}")
+            print(f"{name}: MISMATCH {' | '.join(probs)}")
         else:
             print(
-                f"{name}: OK {len(spark_rows)} rows "
+                f"{name}: OK {len(sp)} rows "
                 f"(spark {dt_spark:.1f}s, duck {dt_duck:.1f}s)"
             )
     print("\nFAILED:" if failures else "\nALL OK", failures if failures else "")

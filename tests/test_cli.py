@@ -34,6 +34,34 @@ def test_detect_alias():
     assert p.stdout.splitlines() == ["pol"]
 
 
+def test_identify_parallel_matches_single_thread():
+    """-j N output is byte-identical to the single-process path (reference
+    -j threads, src/cli/identify.rs:20-33); small batches force >1 dispatch."""
+    lines = [
+        "Hola, ¿qué tal?",
+        "hello world this is english",
+        "DOKUMENT INFORMACYJNY NR",
+        "das ist ein deutscher Satz über nichts",
+        "ceci est une phrase française",
+        "",
+        "مرحبا بالعالم",
+    ] * 3
+    stdin = "".join(line + "\n" for line in lines)
+    p1 = run_cli(["identify", "-s"], stdin=stdin)
+    p4 = run_cli(["identify", "-s", "-j", "4", "-b", "2"], stdin=stdin)
+    assert p1.returncode == 0 and p4.returncode == 0
+    assert p4.stdout == p1.stdout
+    assert len(p4.stdout.splitlines()) == len(lines)
+
+
+def test_compile_model_refuses_overwrite_without_force():
+    """binarize -f parity (/root/reference/src/cli/binarize.rs:13-29): the
+    committed artifact exists, so compile-model must refuse without -f."""
+    p = run_cli(["compile-model"])
+    assert p.returncode == 1
+    assert "already exists" in p.stderr and "--force" in p.stderr
+
+
 def test_bad_subcommand():
     p = run_cli(["no-such-cmd"])
     assert p.returncode != 0

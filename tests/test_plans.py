@@ -83,6 +83,28 @@ def test_count_aggregation_is_partial(spark):
     assert first_agg < exchange or "partial_count" in plan
 
 
+def test_jaccard_verify_never_forces_broadcast(spark):
+    """The LSH candidate set scales with corpus size; nothing in the Jaccard
+    verification may FORCE a broadcast (VERDICT r01 #4). With the broadcast
+    threshold disabled, the plan must contain zero BroadcastExchange — proving
+    broadcasts only ever come from Catalyst size estimates, not hints."""
+    from heliport_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        cands = minhash_lsh_candidates(d)
+        q = ngram_jaccard_pairs(d, candidates=cands, threshold=0.3)
+        plan = plan_of(q)
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_scrub_is_whole_stage_codegen(spark):
     from heliport_spark.functions.scrub import scrub_expr
 

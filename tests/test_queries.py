@@ -1,12 +1,13 @@
-"""Driver-contract conformance: every oracle query must match DuckDB exactly
-(row count + schema + order-insensitive value multiset), mirroring the
-driver's CORRECTNESS check at sf0.01."""
+"""Driver-contract conformance: every oracle query must match DuckDB
+BIT-EXACTLY (row count + schema + dtype class + unrounded values), mirroring
+the driver's CORRECTNESS value-hash at sf0.01 (see tests/oracle_check.py)."""
 
 import duckdb
+import numpy as np
 import pytest
 
 import __spark_entry__ as entrymod
-from tests.oracle_check import rows_to_multiset
+from tests.oracle_check import compare_frames
 
 SF = "/root/testdata/sf0.01"
 
@@ -14,6 +15,7 @@ SF = "/root/testdata/sf0.01"
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
     for t in entrymod.TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
@@ -32,23 +34,22 @@ def test_every_oracle_has_a_query():
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_oracle_match(name, spark, duck):
-    df = _QUERIES[name](spark, SF)
-    spark_rows = df.collect()
-    res = duck.execute(_ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
-    assert sorted(df.columns) == sorted(duck_cols)
-    assert len(spark_rows) == len(duck_rows)
-    assert rows_to_multiset(spark_rows, df.columns) == rows_to_multiset(
-        duck_rows, duck_cols
-    )
+    sp = _QUERIES[name](spark, SF).toPandas()
+    dp = duck.execute(_ORACLES[name]).df()
+    assert compare_frames(sp, dp) == []
 
 
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
 def test_rows_only_queries_run(name, spark):
     df = _QUERIES[name](spark, SF)
-    assert df.count() >= 0
+    pdf = df.toPandas()
     assert len(df.schema.fields) > 0
+    # the driver canonicalizer sorts/hashes cells — arrays/maps break it
+    for c in pdf.columns:
+        if len(pdf):
+            assert not isinstance(
+                pdf[c].iloc[0], (list, dict, np.ndarray)
+            ), f"{name}.{c} is not a flat scalar column"
 
 
 def test_entry_smoke(spark):
