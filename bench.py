@@ -29,6 +29,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = (
     "quality_filter_clips",   # flagship: full langid+scrub+rules pipeline
     "heli_identify_docs",     # pure langid mapInPandas
+    "heli_topk_docs",         # C6 top-k over the FULL table (batched scorer)
     "q1_pricing_summary",     # wide hash aggregation
     "region_revenue",         # 5-way broadcast join chain
     "events_sessions",        # window sessionization

@@ -36,17 +36,65 @@ from __future__ import annotations
 import numpy as np
 
 from .langs import CJK_LANG_MASK, COLLAPSE, LANGS_ARR, N_LANGS, UND, ZXX
-from .model import PENALTY, HeliModel, get_model, hash_grams
+from .model import (
+    _FNV_OFFSET,
+    _FNV_PRIME,
+    _SM1,
+    _SM2,
+    PENALTY,
+    HeliModel,
+    get_model,
+    hash_grams,
+)
 
 MAX_NGRAM = 6  # identifier.rs:38
 CJK_OVERRIDE = PENALTY + np.float32(1.0)  # 8.0 (identifier.rs:296)
 _COLLAPSE_I = COLLAPSE.astype(np.int64)
+_EMPTY_I16 = np.empty(0, np.int16)
+_EMPTY_F32 = np.empty(0, np.float32)
 
 
 def _shingles(wordspace: str, t: int) -> "list[str]":
     """Char windows of width t over an already space-padded word (P5)."""
     n = len(wordspace) - t + 1
     return [wordspace[i : i + t] for i in range(n)] if n > 0 else []
+
+
+def _splitmix(h: np.ndarray) -> np.ndarray:
+    h = (h ^ (h >> np.uint64(30))) * _SM1
+    h = (h ^ (h >> np.uint64(27))) * _SM2
+    return h ^ (h >> np.uint64(31))
+
+
+def _hash_spans(cp: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """``hash_grams``-identical FNV-1a + splitmix over variable-length spans
+    of a codepoint buffer — no substring materialization (ROADMAP item 4:
+    the cold-cache path hashes straight from codepoints)."""
+    n = len(starts)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return h
+    cap = len(cp) - 1
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max())):
+            active = lens > j
+            if not active.any():
+                break
+            c = cp[np.minimum(starts + j, cap)].astype(np.uint64)
+            h = np.where(active, (h ^ c) * _FNV_PRIME, h)
+        h = _splitmix(h)
+    return h
+
+
+def _hash_windows(buf: np.ndarray, wstart: np.ndarray, t: int) -> np.ndarray:
+    """FNV-1a + splitmix over all fixed-width-t windows (P5 shingles) of a
+    codepoint buffer; every window is exactly t chars so no masking."""
+    h = np.full(len(wstart), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(t):
+            h = (h ^ buf[wstart + j].astype(np.uint64)) * _FNV_PRIME
+        h = _splitmix(h)
+    return h
 
 
 class Scorer:
@@ -63,24 +111,80 @@ class Scorer:
         self.model = model if model is not None else get_model()
         self.exact = exact
         self.cache_cap = cache_cap
-        # fast memo: word -> (base_scalar f32, lang idx int16[], val f32[])
+        # fast memo: word-hash (python int) -> slot in the vocab bank
         self._memo: dict = {}
+        self._bank_reset()
         # exact memo: word -> dense (N_LANGS,) f32 word-score vector
         self._memo_exact: dict = {}
 
+    # ------------------------------------------------------------ vocab bank
+    # Scored distinct words live in flat growable arrays (sparse CSR-style):
+    # slot -> (base scalar, nnz, start into idx/val). Batch assembly is then
+    # a pure-numpy gather instead of a per-unique-word Python loop.
+
+    def _bank_reset(self) -> None:
+        self._memo.clear()
+        self._vb_n = 0
+        self._vb_len = 0
+        self._vb_base = np.empty(4096, np.float32)
+        self._vb_nnz = np.empty(4096, np.int64)
+        self._vb_start = np.empty(4096, np.int64)
+        self._vb_idx = np.empty(16384, np.int16)
+        self._vb_val = np.empty(16384, np.float32)
+
+    def _vb_ensure(self, k: int, m: int) -> None:
+        n, L = self._vb_n, self._vb_len
+        while n + k > len(self._vb_base):
+            for name in ("_vb_base", "_vb_nnz", "_vb_start"):
+                arr = getattr(self, name)
+                new = np.empty(len(arr) * 2, arr.dtype)
+                new[: len(arr)] = arr
+                setattr(self, name, new)
+        while L + m > len(self._vb_idx):
+            for name in ("_vb_idx", "_vb_val"):
+                arr = getattr(self, name)
+                new = np.empty(len(arr) * 2, arr.dtype)
+                new[: len(arr)] = arr
+                setattr(self, name, new)
+
+    def _bank_append(self, hashes: "list[int]", base_scalar: float,
+                     flat_idx, flat_val, bnd: np.ndarray) -> None:
+        """Append len(hashes) words whose sparse (idx, val) vectors are the
+        flat arrays split by bnd; register their memo slots."""
+        k = len(hashes)
+        m = int(bnd[-1])
+        self._vb_ensure(k, m)
+        n, L = self._vb_n, self._vb_len
+        if m:
+            self._vb_idx[L : L + m] = flat_idx
+            self._vb_val[L : L + m] = flat_val
+        self._vb_base[n : n + k] = base_scalar
+        self._vb_nnz[n : n + k] = np.diff(bnd)
+        self._vb_start[n : n + k] = L + bnd[:-1]
+        memo = self._memo
+        for i, h in enumerate(hashes):
+            memo[h] = n + i
+        self._vb_n = n + k
+        self._vb_len = L + m
+
     # ---------------------------------------------------------- preprocessing
 
-    def preprocess_batch(self, texts: "list[str]"):
-        """P1-P4 for a whole batch in one numpy pass.
+    def _preprocess_core(self, texts: "list[str]"):
+        """P1-P4 for a whole batch in one numpy pass — codepoint-level.
 
-        Returns (tokens, tok_text, bounds, cjk_pct, valid):
-          tokens    flat list[str] of all tokens in text order
+        Returns (cp, s_idx, e_idx, tok_text, bounds, cjk_pct, valid):
+          cp        uint32[] cleaned codepoint buffer of all texts joined
+          s_idx     int64[n_tokens] token start offsets into cp
+          e_idx     int64[n_tokens] token end offsets (inclusive)
           tok_text  int64[n_tokens] owning-text index
           bounds    int64[n+1] token offsets per text
           cjk_pct   float32[n]
           valid     bool[n] (≥1 token)
         Texts are lowered individually (P1) then joined with '\\n' (never in
-        the kept set → becomes a space → a guaranteed token boundary).
+        the kept set → becomes a space → a guaranteed token boundary). The
+        fast scoring path consumes the spans directly (no substring objects);
+        ``preprocess_batch`` materializes token strings for the exact / ft
+        paths.
         """
         m = self.model
         n = len(texts)
@@ -93,7 +197,9 @@ class Scorer:
         cjk_pct = np.zeros(n, dtype=np.float32)
         valid = np.zeros(n, dtype=bool)
         if not joined:
-            return [], np.empty(0, np.int64), np.zeros(n + 1, np.int64), cjk_pct, valid
+            z = np.empty(0, np.int64)
+            return (np.empty(0, np.uint32), z, z, z,
+                    np.zeros(n + 1, np.int64), cjk_pct, valid)
         cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
         cp = np.where(m.keep_table[cp], cp, np.uint32(0x20))
         iscjk = m.cjk_table[cp]
@@ -126,12 +232,22 @@ class Scorer:
         ends = nonspace & (~next_ns | (iscjk != next_cjk))
         s_idx = np.flatnonzero(starts)
         e_idx = np.flatnonzero(ends)
-        cleaned = cp.tobytes().decode("utf-32-le")
-        tokens = [cleaned[a : b + 1] for a, b in zip(s_idx, e_idx)]
         tok_text = np.searchsorted(text_start[1:], s_idx, side="right")
         bounds = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(np.bincount(tok_text, minlength=n), out=bounds[1:])
         valid = bounds[1:] > bounds[:-1]
+        return cp, s_idx, e_idx, tok_text, bounds, cjk_pct, valid
+
+    def preprocess_batch(self, texts: "list[str]"):
+        """P1-P4 with materialized token strings (exact / ft paths).
+
+        Returns (tokens, tok_text, bounds, cjk_pct, valid) — see
+        ``_preprocess_core`` for the string-free variant the fast path uses.
+        """
+        cp, s_idx, e_idx, tok_text, bounds, cjk_pct, valid = \
+            self._preprocess_core(texts)
+        cleaned = cp.tobytes().decode("utf-32-le")
+        tokens = [cleaned[a : b + 1] for a, b in zip(s_idx, e_idx)]
         return tokens, tok_text, bounds, cjk_pct, valid
 
     def preprocess(self, text: str) -> "tuple[list[str], float]":
@@ -141,78 +257,113 @@ class Scorer:
 
     # ---------------------------------------------------------- word scoring
 
-    def _score_words_fast(self, words: "list[str]") -> None:
-        """Score new distinct words (C1+C2), order-batched; fill the memo."""
+    @staticmethod
+    def _flat_gather(order_table, fi: np.ndarray):
+        """Gather the posting lists of table rows ``fi`` as flat arrays:
+        → (plang int64[], padj f32[], bnd int64[len(fi)+1]). One fancy-index
+        per mmap array instead of a slice-pair per word."""
+        oo = order_table.offsets
+        st = oo[fi].astype(np.int64)
+        en = oo[fi + 1].astype(np.int64)
+        pl = en - st
+        total = int(pl.sum())
+        bnd = np.zeros(len(fi) + 1, dtype=np.int64)
+        np.cumsum(pl, out=bnd[1:])
+        if total == 0:
+            return np.empty(0, np.int64), _EMPTY_F32, bnd
+        pos = np.repeat(st - bnd[:-1], pl) + np.arange(total)
+        return (
+            order_table.plang[pos].astype(np.int64),
+            order_table.padj[pos],
+            bnd,
+        )
+
+    def _score_spans_fast(self, cp: np.ndarray, starts: np.ndarray,
+                          lens: np.ndarray, hashes: np.ndarray) -> None:
+        """Score new distinct words given as codepoint spans (C1+C2) and fill
+        the hash-keyed memo. Fully numpy: order-0 is looked up directly on
+        the word hashes (they ARE the model keys); the back-off cascade
+        hashes n-gram windows straight out of a padded codepoint buffer —
+        no substring/shingle string objects anywhere (ROADMAP item 4)."""
         m = self.model
-        memo = self._memo
-        if len(memo) > self.cache_cap:  # crude FIFO eviction
-            for k in list(memo.keys())[: self.cache_cap // 4]:
-                del memo[k]
-        # order 0: whole-word model
-        h = hash_grams(words)
-        idx = m.orders[0].lookup(h)
-        off = m.orders[0].offsets
-        active: list[str] = []
-        for wi, w in enumerate(words):
-            j = idx[wi]
-            if j >= 0:
-                s, e = int(off[j]), int(off[j + 1])
-                memo[w] = (PENALTY, m.orders[0].plang[s:e].astype(np.int16),
-                           m.orders[0].padj[s:e].copy())
-            else:
-                active.append(w)
+        hl = hashes.tolist()  # python ints for dict keys
+        # order 0: whole-word model — word hash == model key hash
+        idx = m.orders[0].lookup(hashes)
+        found0 = idx >= 0
+        if found0.any():
+            rows0 = np.flatnonzero(found0)
+            plang_f, padj_f, bnd = self._flat_gather(m.orders[0], idx[rows0])
+            self._bank_append(
+                [hl[wi] for wi in rows0.tolist()],
+                PENALTY, plang_f.astype(np.int16), padj_f, bnd,
+            )
+        remaining = ~found0
+        if not remaining.any():
+            return
+        # padded buffer ' w ' for every remaining word, built by one scatter
+        act = np.flatnonzero(remaining)
+        L = lens[act]
+        lenp = L + 2
+        pstart = np.zeros(len(act) + 1, dtype=np.int64)
+        np.cumsum(lenp, out=pstart[1:])
+        pbuf = np.full(int(pstart[-1]), 0x20, dtype=np.uint32)
+        sumL = int(L.sum())
+        if sumL:
+            cum0 = np.zeros(len(act), dtype=np.int64)
+            np.cumsum(L[:-1], out=cum0[1:])
+            ar = np.arange(sumL)
+            pbuf[np.repeat(pstart[:-1] + 1 - cum0, L) + ar] = \
+                cp[np.repeat(starts[act] - cum0, L) + ar]
         # back-off cascade t = 6 .. 1 (identifier.rs:246)
+        rem_local = np.ones(len(act), dtype=bool)
         for t in range(MAX_NGRAM, 0, -1):
-            if not active:
+            rows = np.flatnonzero(rem_local)
+            if rows.size == 0:
                 break
+            nwin = lenp[rows] - t + 1
+            rows = rows[nwin > 0]
+            nwin = nwin[nwin > 0]
+            if rows.size == 0:
+                continue
+            W = int(nwin.sum())
+            cumw = np.zeros(rows.size, dtype=np.int64)
+            np.cumsum(nwin[:-1], out=cumw[1:])
+            arw = np.arange(W)
+            wstart = np.repeat(pstart[rows] - cumw, nwin) + arw
+            gw = np.repeat(np.arange(rows.size), nwin)
             ot = m.orders[t]
-            grams: list[str] = []
-            gram_word: list[int] = []
-            for wi, w in enumerate(active):
-                gs = _shingles(f" {w} ", t)
-                grams.extend(gs)
-                gram_word.extend([wi] * len(gs))
-            if not grams:
+            gidx = ot.lookup(_hash_windows(pbuf, wstart, t))
+            fmask = gidx >= 0
+            k_found = np.bincount(gw[fmask], minlength=rows.size)
+            hit = np.flatnonzero(k_found)
+            if hit.size == 0:
                 continue
-            gh = hash_grams(grams)
-            gidx = ot.lookup(gh)
-            found = gidx >= 0
-            gw = np.asarray(gram_word, dtype=np.int64)
-            k_found = np.bincount(gw[found], minlength=len(active))
-            if not k_found.any():
-                continue
-            # scatter postings of found grams into per-word dense rows
-            fw = gw[found]
-            fi = gidx[found]
-            oo = ot.offsets
-            starts = oo[fi].astype(np.int64)
-            ends = oo[fi + 1].astype(np.int64)
-            lens = ends - starts
-            # flat posting gather via ranges
-            total = int(lens.sum())
-            pos = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens) \
-                + np.arange(total)
-            langs_cat = ot.plang[pos].astype(np.int64) if total else np.empty(0, np.int64)
-            adj_cat = ot.padj[pos] if total else np.empty(0, np.float32)
-            rows_cat = np.repeat(fw, lens)
-            scored = np.flatnonzero(k_found)
-            row_map = np.full(len(active), -1, dtype=np.int64)
-            row_map[scored] = np.arange(len(scored))
-            M = np.zeros((len(scored), N_LANGS), dtype=np.float32)
+            langs_cat, adj_cat, bnd = self._flat_gather(ot, gidx[fmask])
+            rows_cat = np.repeat(gw[fmask], np.diff(bnd))
+            row_map = np.full(rows.size, -1, dtype=np.int64)
+            row_map[hit] = np.arange(hit.size)
+            M = np.zeros((hit.size, N_LANGS), dtype=np.float32)
             np.add.at(M, (row_map[rows_cat], langs_cat), adj_cat)
-            M /= k_found[scored].astype(np.float32)[:, None]
-            still: list[str] = []
-            for wi, w in enumerate(active):
-                r = row_map[wi]
-                if r >= 0:
-                    row = M[r]
-                    nz = np.flatnonzero(row)
-                    memo[w] = (PENALTY, nz.astype(np.int16), row[nz].copy())
-                else:
-                    still.append(w)
-            active = still
-        for w in active:  # never found at any order: contributes zeros
-            memo[w] = (np.float32(0.0), np.empty(0, np.int16), np.empty(0, np.float32))
+            M /= k_found[hit].astype(np.float32)[:, None]
+            # sparse extraction of all hit rows at once (nonzero is row-major
+            # so per-row cols stay ascending, matching the old per-word path)
+            nzr, nzc = np.nonzero(M)
+            bnd = np.zeros(hit.size + 1, dtype=np.int64)
+            np.cumsum(np.bincount(nzr, minlength=hit.size), out=bnd[1:])
+            glob = act[rows[hit]]
+            self._bank_append(
+                [hl[wi] for wi in glob.tolist()],
+                PENALTY, nzc.astype(np.int16), M[nzr, nzc], bnd,
+            )
+            rem_local[rows[hit]] = False
+        left = np.flatnonzero(rem_local)
+        if left.size:
+            # never found at any order: contributes zeros
+            self._bank_append(
+                [hl[act[li]] for li in left.tolist()],
+                0.0, _EMPTY_I16, _EMPTY_F32,
+                np.zeros(left.size + 1, dtype=np.int64),
+            )
 
     def _score_word_exact(self, word: str) -> np.ndarray:
         """Reference-order f32 accumulation for one word (parity mode)."""
@@ -255,9 +406,9 @@ class Scorer:
         """
         n = len(texts)
         points = np.zeros((n, N_LANGS), dtype=np.float32)
-        tokens, tok_text, bounds, cjk_pct, valid = self.preprocess_batch(texts)
 
         if self.exact:
+            tokens, tok_text, bounds, cjk_pct, valid = self.preprocess_batch(texts)
             memo = self._memo_exact
             if len(memo) > self.cache_cap:
                 for k in list(memo.keys())[: self.cache_cap // 4]:
@@ -275,45 +426,50 @@ class Scorer:
                     lp += v  # sequential word order (identifier.rs:270)
                 lp /= np.float32(hi - lo)
                 points[i] = lp
-        elif tokens:
-            # distinct tokens of this batch (C-level hash table via factorize)
-            import pandas as pd
-
-            flat_ids, uniques = pd.factorize(
-                np.asarray(tokens, dtype=object), use_na_sentinel=False
+        else:
+            cp, s_idx, e_idx, tok_text, bounds, cjk_pct, valid = \
+                self._preprocess_core(texts)
+            if len(s_idx) == 0:
+                return points, valid, cjk_pct
+            # distinct tokens by 64-bit span hash — the SAME hash the model
+            # keys use (so order-0 lookup consumes it directly) and the memo
+            # key (no token strings on this path; a 64-bit collision merging
+            # two words is ~(d²/2)·2⁻⁶⁴, far below the model's own hash-
+            # collision tolerance)
+            lens_tok = e_idx - s_idx + 1
+            tok_hash = _hash_spans(cp, s_idx, lens_tok)
+            uniq_h, first_idx, flat_ids = np.unique(
+                tok_hash, return_index=True, return_inverse=True
             )
             flat_ids = flat_ids.astype(np.int64, copy=False)
             memo = self._memo
-            new_words = [w for w in uniques if w not in memo]
-            if new_words:
-                self._score_words_fast(new_words)
-            # concatenated sparse word vectors (base scalar + (idx, val) list)
-            u = len(uniques)
-            base = np.empty(u, dtype=np.float32)
-            idx_parts: list[np.ndarray] = []
-            val_parts: list[np.ndarray] = []
-            nnz = np.empty(u, dtype=np.int64)
-            for li, w in enumerate(uniques):
-                b, iz, vz = memo[w]
-                base[li] = b
-                nnz[li] = len(iz)
-                if len(iz):
-                    idx_parts.append(iz)
-                    val_parts.append(vz)
-            # idx/val concatenated in local-id order (dict preserves insertion
-            # order == local-id order)
-            idx_cat = (
-                np.concatenate(idx_parts).astype(np.int64)
-                if idx_parts
-                else np.empty(0, np.int64)
+            if self._vb_n > self.cache_cap:
+                self._bank_reset()  # full reset beats per-entry eviction here
+            u = len(uniq_h)
+            hl = uniq_h.tolist()
+            slots = np.fromiter(
+                (memo.get(h, -1) for h in hl), np.int64, count=u
             )
-            val_cat = (
-                np.concatenate(val_parts).astype(np.float64)
-                if val_parts
-                else np.empty(0, np.float64)
-            )
+            missm = slots < 0
+            if missm.any():
+                fi = first_idx[missm]
+                self._score_spans_fast(cp, s_idx[fi], lens_tok[fi], uniq_h[missm])
+                for li in np.flatnonzero(missm).tolist():
+                    slots[li] = memo[hl[li]]
+            # batch word vectors = one CSR-style gather out of the vocab bank
+            base = self._vb_base[slots]
+            nnz = self._vb_nnz[slots]
+            vstart = self._vb_start[slots]
             off = np.zeros(u + 1, dtype=np.int64)
             np.cumsum(nnz, out=off[1:])
+            total_nz = int(off[-1])
+            if total_nz:
+                pos = np.repeat(vstart - off[:-1], nnz) + np.arange(total_nz)
+                idx_cat = self._vb_idx[pos].astype(np.int64)
+                val_cat = self._vb_val[pos].astype(np.float64)
+            else:
+                idx_cat = np.empty(0, np.int64)
+                val_cat = np.empty(0, np.float64)
             nwords = np.diff(bounds).astype(np.float32)
             if n * u <= 12_000_000 and u <= 20_000:
                 # small batch vocabulary: dense counts × word-matrix sgemm —

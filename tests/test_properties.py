@@ -57,3 +57,48 @@ def test_preprocess_tokens_contain_no_spaces(text):
     assert 0.0 <= cjk_pct <= 1.0
     for t in toks:
         assert t and " " not in t
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=12).filter(lambda s: "\x00" not in s),
+                min_size=1, max_size=20))
+def test_span_hash_equals_string_hash(grams):
+    """The codepoint-span hash the fast path uses MUST be identical to
+    hash_grams over the same strings (it doubles as the model key)."""
+    import numpy as np
+
+    from heliport_spark.heli import _hash_spans
+
+    joined = "\x00".join(grams)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+    lens = np.array([len(g) for g in grams], dtype=np.int64)
+    starts = np.zeros(len(grams), dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=starts[1:])
+    got = _hash_spans(cp, starts, lens)
+    want = hash_grams(grams)
+    assert got.tolist() == want.tolist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=8).filter(lambda s: "\x00" not in s),
+                min_size=1, max_size=6))
+def test_window_hash_equals_shingle_hash(words):
+    """Cascade window hashes out of the padded codepoint buffer must equal
+    hash_grams of the equivalent string shingles for every order 1..6.
+    (NUL is excluded: hash_grams' U-array length detection treats it as a
+    terminator, and preprocessing can never emit it — not in the keep set.)"""
+    import numpy as np
+
+    from heliport_spark.heli import _hash_windows, _shingles
+
+    for t in range(1, 7):
+        for w in words:
+            ws = f" {w} "
+            sh = _shingles(ws, t)
+            if not sh:
+                continue
+            buf = np.frombuffer(ws.encode("utf-32-le"), dtype="<u4")
+            wstart = np.arange(len(ws) - t + 1, dtype=np.int64)
+            got = _hash_windows(buf, wstart, t)
+            want = hash_grams(sh)
+            assert got.tolist() == want.tolist()
