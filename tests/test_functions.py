@@ -98,3 +98,23 @@ def test_multimodal_stubs():
     assert m.shape == (10, 80) and m.dtype == np.float32
     m2 = mel_features(np.zeros(1600, dtype=np.float32), 16000)
     np.testing.assert_array_equal(m, m2)  # deterministic fake
+
+
+def test_lsh_bucket_udf_matches_expr(spark):
+    """The Arrow-batched bucket UDF (used when n_planes×dim would bloat the
+    Catalyst plan) must produce bit-identical keys to the unrolled expr."""
+    from pyspark.sql import functions as F
+
+    from heliport_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket_expr,
+        lsh_bucket_udf,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    planes = hyperplanes(64, 10)
+    both = e.select(
+        lsh_bucket_expr(F.col("embedding"), planes).alias("k_expr"),
+        lsh_bucket_udf(planes)(F.col("embedding")).alias("k_udf"),
+    )
+    assert both.filter(F.col("k_expr") != F.col("k_udf")).count() == 0

@@ -68,3 +68,27 @@ def test_ft_cross_check(fast_scorer):
     )
     assert labels[1] == "zxx" and probs[1] == 0.0
     assert 0.0 <= probs[0] <= 1.0
+
+
+def test_vocab_bank_reset_preserves_labels(fast_scorer):
+    """A tiny cache_cap forces mid-stream bank resets; labels and scores must
+    be identical to an unbounded-cache scorer (the reset only costs time)."""
+    from heliport_spark.heli import Scorer
+
+    texts = [
+        "Hola, ¿qué tal estás hoy?",
+        "hello world this is english text",
+        "das ist ein deutscher Satz",
+        "ceci est une phrase française",
+        "questo è un testo italiano",
+    ] * 4
+    small = Scorer(fast_scorer.model, cache_cap=3)  # reset nearly every batch
+    l1, s1, _, _ = small.identify_batch(texts)
+    # second pass re-scores everything after resets
+    l2, s2, _, _ = small.identify_batch(texts)
+    lr, sr, _, _ = fast_scorer.identify_batch(texts)
+    assert list(l1) == list(lr) == list(l2)
+    assert [float(x) for x in s1] == [float(x) for x in sr]
+    # the reset fires at batch start, so the bank never exceeds one batch's
+    # distinct-word count (26 here) instead of accumulating across batches
+    assert small._vb_n == len({w for t in texts for w in t.lower().split()})
