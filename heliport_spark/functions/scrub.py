@@ -34,14 +34,28 @@ ALL_PATTERNS: "tuple[tuple[str, str], ...]" = SCRUB_PATTERNS + (
 )
 
 
+# One-alternation trigger: fires iff ANY pattern matches the original text.
+# If nothing matches, the sequential chain is the identity (replacements only
+# happen on matches, and later patterns see unmodified text), so clean rows —
+# the vast majority at web scale — pay ONE early-exit rlike pass instead of
+# 12 full regexp_count/regexp_replace passes. The (?i) stays scoped to the
+# toxicity branch (inline flags end at the enclosing group in Java regex).
+_TRIGGER = "(" + ")|(".join(pat for _name, pat in ALL_PATTERNS) + ")"
+
+
 def scrub_expr(col: "Column | str") -> "tuple[Column, Column]":
     """→ (scrubbed_text, scrub_spans) as Catalyst columns."""
-    c = F.col(col) if isinstance(col, str) else col
+    c0 = F.col(col) if isinstance(col, str) else col
+    c = c0
     spans = F.lit(0)
     for _name, pat in ALL_PATTERNS:
         spans = spans + F.regexp_count(c, F.lit(pat))
         c = F.regexp_replace(c, pat, SCRUB_TOKEN)
-    return c, spans.cast("int")
+    dirty = c0.rlike(_TRIGGER)
+    return (
+        F.when(dirty, c).otherwise(c0),
+        F.when(dirty, spans).otherwise(F.lit(0)).cast("int"),
+    )
 
 
 def scrub_sql(col: str) -> "tuple[str, str]":
