@@ -98,7 +98,10 @@ def run_bench() -> dict:
 
 
 SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "160"))
-SCALING_CLIPS = f"/tmp/heliport_scaling_clips_{_sf_label(SF_DIR)}_{SCALING_REPLICATE}"
+# v2: replicas are salted with a distinct trailing token (see
+# sources/clips.py) so the scorer's exact-duplicate shortcut cannot skip the
+# scoring work this table exists to measure
+SCALING_CLIPS = f"/tmp/heliport_scaling_clips_v2_{_sf_label(SF_DIR)}_{SCALING_REPLICATE}"
 
 
 def ensure_scaling_clips(spark) -> str:

@@ -98,9 +98,13 @@ def clips_from_documents(spark: SparkSession, sf_dir: str,
     (dur_ms metadata stays consistent with the bytes)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     if replicate > 1:
+        # salt each replica's transcript with a distinct trailing token:
+        # byte-identical copies would let the scorer's exact-duplicate
+        # shortcut skip the scoring work the scale-up exists to measure
         reps = spark.range(replicate).select(F.col("id").alias("rep"))
         docs = docs.crossJoin(reps).select(
-            (F.col("doc_id") * replicate + F.col("rep")).alias("doc_id"), "text"
+            (F.col("doc_id") * replicate + F.col("rep")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
         )
     # Spread synth across cores (a single small parquet file = one input
     # split) and bound the PCM bytes per Arrow batch: a yielded pandas frame

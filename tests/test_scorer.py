@@ -92,3 +92,27 @@ def test_vocab_bank_reset_preserves_labels(fast_scorer):
     # the reset fires at batch start, so the bank never exceeds one batch's
     # distinct-word count (26 here) instead of accumulating across batches
     assert small._vb_n == len({w for t in texts for w in t.lower().split()})
+
+
+def test_duplicate_texts_identical_results(fast_scorer):
+    """The exact-duplicate shortcut (score distinct texts once, scatter back)
+    must be bit-identical to scoring every row."""
+    base = [
+        "Hola, ¿qué tal estás hoy?",
+        "hello world this is english text",
+        "das ist ein deutscher Satz",
+        None,
+        "",
+    ]
+    texts = base * 20  # 100 rows, 5 distinct -> shortcut fires
+    from heliport_spark.heli import Scorer
+
+    l1, s1, r1, c1 = fast_scorer.identify_batch(texts)
+    # a scorer fed one-row-at-a-time never takes the shortcut
+    ref = Scorer(fast_scorer.model)
+    for i, t in enumerate(texts):
+        l2, s2, r2, c2 = ref.identify_batch([t])
+        assert l1[i] == l2[0]
+        assert float(s1[i]) == float(s2[0])
+        assert float(r1[i]) == float(r2[0])
+        assert float(c1[i]) == float(c2[0])
