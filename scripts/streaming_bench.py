@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Structured-Streaming throughput micro-benchmark (ROADMAP item: streaming).
+
+Drives the two streaming operators with the built-in ``rate`` source
+(deterministic synthetic transcripts derived from the row id — no files,
+no external data):
+
+* pipeline  — rate → synthetic clips → streaming_quality_filter →
+              noop sink; reports end-to-end rows/s from query progress.
+* dedup     — same input where half the rows are forced duplicates →
+              streaming_exact_dedup (per-fingerprint state) → noop sink;
+              reports rows/s and final state size.
+
+Usage: python scripts/streaming_bench.py [rows_per_sec] [seconds]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synthetic_clips(stream):
+    """rate-source rows → clips schema (deterministic text from the id)."""
+    from pyspark.sql import functions as F
+
+    words = (
+        "the quick brown fox jumps over lazy dog and runs through green "
+        "fields while birds sing in morning light near quiet river banks"
+    ).split()
+    arr = F.array(*[F.lit(w) for w in words])
+    # 12-word deterministic sentence: word i = words[(id*7 + i*3) % n]
+    idx = F.sequence(F.lit(0), F.lit(11))
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            idx,
+            lambda i: F.element_at(
+                arr,
+                (
+                    ((F.col("value") % 1000) * 7 + i * 3) % F.lit(len(words)) + 1
+                ).cast("int"),
+            ),
+        ),
+    )
+    return stream.select(
+        F.concat(F.lit("clip-"), F.col("value")).alias("clip_id"),
+        text.alias("transcript"),
+        F.lit(bytearray(b"\x00\x00")).alias("bytes"),
+        F.lit(16000).alias("sr_hz"),
+        F.lit(750).alias("dur_ms"),
+        F.lit("pcm_s16le").alias("codec"),
+    )
+
+
+def run(rows_per_sec: int, seconds: int) -> None:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from heliport_spark.plans import get_spark
+    from heliport_spark.streaming.stream import (
+        streaming_exact_dedup,
+        streaming_quality_filter,
+    )
+
+    spark = get_spark(app_name="heliport_streaming_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_sec))
+        .option("numPartitions", "8")
+        .load()
+    )
+    clips = synthetic_clips(rate)
+
+    results = {}
+    for name, df in (
+        ("pipeline", streaming_quality_filter(clips)),
+        ("dedup", streaming_exact_dedup(clips)),
+    ):
+        q = df.writeStream.format("noop").outputMode("append").start()
+        try:
+            time.sleep(seconds)
+            progress = [p for p in q.recentProgress if p and p["numInputRows"]]
+            rows = sum(p["numInputRows"] for p in progress)
+            secs = sum(p["batchDuration"] for p in progress) / 1000.0
+            results[name] = (rows, rows / secs if secs else 0.0)
+            if name == "dedup" and progress and progress[-1]["stateOperators"]:
+                results["dedup_state_rows"] = progress[-1]["stateOperators"][0][
+                    "numRowsTotal"
+                ]
+        finally:
+            q.stop()
+    for k, v in results.items():
+        print(f"{k}: {v}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    rps = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    secs = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    run(rps, secs)
