@@ -449,6 +449,18 @@ def _audio_features(spark, sf):
     )
 
 
+def _corpus_stats(spark, sf):
+    from heliport_spark.operators.corpus import length_stats
+
+    return length_stats(_t(spark, sf, "documents"))
+
+
+def _deterministic_split(spark, sf):
+    from heliport_spark.operators.corpus import hash_split
+
+    return hash_split(_t(spark, sf, "documents"))
+
+
 def _ann_lsh(spark, sf):
     from heliport_spark.operators.similarity import lsh_ann_topk
 
@@ -484,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _simhash,
         "ann_bruteforce": _ann_bruteforce,
         "embedding_neardup": _embedding_neardup,
+        "corpus_stats": _corpus_stats,
+        "deterministic_split": _deterministic_split,
         # rows-only (no SQL oracle possible):
         "heli_identify_docs": _heli_identify_docs,
         "heli_topk_docs": _heli_topk_docs,
@@ -748,6 +762,32 @@ s AS (SELECT query_id, neighbor_id,
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY sim DESC, neighbor_id) AS rk FROM s)
 SELECT query_id, neighbor_id, sim FROM r WHERE rk <= 5""",
+        "corpus_stats": """
+WITH l AS (
+  SELECT source, length(text) AS len,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(len, 0.5), 4) AS p50_len,
+       round(quantile_cont(len, 0.95), 4) AS p95_len,
+       round(avg(len), 4) AS avg_len,
+       round(avg(toks), 4) AS avg_tokens
+FROM l GROUP BY source""",
+        "deterministic_split": """
+WITH s AS (
+  SELECT source,
+         CASE
+           WHEN h < 8 THEN 'train'
+           WHEN h < 9 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM (SELECT source,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 AS h
+        FROM documents)
+)
+SELECT source, split, count(*) AS n_docs FROM s GROUP BY source, split""",
         "embedding_neardup": """
 WITH px AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    unnest(a.embedding)::DOUBLE AS ae,
