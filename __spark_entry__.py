@@ -449,6 +449,13 @@ def _audio_features(spark, sf):
     )
 
 
+def _boilerplate_spans(spark, sf):
+    from heliport_spark.operators.dedup import duplicate_ngram_spans
+
+    spans = duplicate_ngram_spans(_docs_repart(spark, sf), n=8)
+    return spans.orderBy(F.desc("n_docs"), F.asc("gram")).limit(100)
+
+
 def _corpus_stats(spark, sf):
     from heliport_spark.operators.corpus import length_stats
 
@@ -496,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _simhash,
         "ann_bruteforce": _ann_bruteforce,
         "embedding_neardup": _embedding_neardup,
+        "boilerplate_spans": _boilerplate_spans,
         "corpus_stats": _corpus_stats,
         "deterministic_split": _deterministic_split,
         # rows-only (no SQL oracle possible):
@@ -762,6 +770,19 @@ s AS (SELECT query_id, neighbor_id,
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY sim DESC, neighbor_id) AS rk FROM s)
 SELECT query_id, neighbor_id, sim FROM r WHERE rk <= 5""",
+        "boilerplate_spans": """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i::INT, i::INT + 7), ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+        FROM w)
+),
+d AS (SELECT DISTINCT doc_id, gram FROM g)
+SELECT gram, count(*) AS n_docs FROM d GROUP BY gram HAVING count(*) >= 2
+ORDER BY n_docs DESC, gram LIMIT 100""",
         "corpus_stats": """
 WITH l AS (
   SELECT source, length(text) AS len,

@@ -176,6 +176,37 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: "DataFrame | None" = None,
     )
 
 
+def duplicate_ngram_spans(df: DataFrame, n: int = 8, min_docs: int = 2,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Cross-document repeated word-n-gram spans (boilerplate detection, the
+    C4/RefinedWeb "repeated span" step): explode each doc's word n-gram
+    windows (distinct per doc), count docs per span, keep spans seen in
+    ≥ min_docs docs. Output (gram, n_docs).
+
+    Scale: one explode (≈ words-per-doc rows each) into a hash aggregate with
+    map-side combine on a high-cardinality key — same shuffle shape as T1
+    counting; no self-join, no all-pairs."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_w = F.size(toks)
+    grams = F.when(
+        n_w >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_w - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 SIMHASH_BITS = 16
 
 
