@@ -24,9 +24,13 @@ Two accumulation modes:
 * ``exact=True``: float32 additions in the reference's exact sequential order
   (gram-by-gram, word-by-word) — reproduces the Rust golden scores to 4
   decimals. Used for parity tests and reference-label generation.
-* fast (default): order-batched ``np.add.at`` scatter accumulation with a
-  cross-batch distinct-word memo (Zipf makes repeats dominate). Same labels
-  except in pathological float ties; this is the 100 TB path.
+* fast (default): fully codepoint-level — tokens are SPANS over one cleaned
+  codepoint buffer, interned by a 64-bit span hash that doubles as the
+  order-0 model key; cascade n-grams are hashed straight out of a padded
+  codepoint buffer (no substring objects anywhere); scored words live in a
+  CSR-style cross-batch vocab bank so per-batch assembly is one vectorized
+  gather. Same labels as exact except in pathological float ties; this is
+  the 100 TB path (~78k short texts/s/core, see BENCH.md).
 
 No Spark imports here — this module runs inside Arrow-batch UDFs.
 """

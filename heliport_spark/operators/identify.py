@@ -8,9 +8,13 @@ record batches replace the 100k-line chunks, and a per-Python-worker
 thread-local Identifier clones sharing an ``Arc<Model>``.
 
 Design notes for 100 TB:
-* one ``mapInPandas`` stage — no shuffle is introduced; upstream filters and
-  column pruning stay pushed down to the scan because we select only the
-  columns we need and re-join nothing.
+* one scalar-pandas-UDF stage (ArrowEvalPython) — no shuffle is introduced;
+  upstream filters and column pruning stay pushed down to the scan, and only
+  the text column crosses into Python (passthrough columns ride along
+  JVM-side).
+* partitions must carry at least one full Arrow batch (10k rows): the
+  scorer's per-batch fixed costs amortize over the batch — sub-sized
+  partitions measured 2× slower end-to-end (BENCH.md, docs/SCALE.md).
 * the model is NOT a Spark broadcast variable: broadcasting 158 MB through
   the JVM would copy it per-worker; instead every Python worker mmaps the
   same artifact files (``HELIPORT_MODEL_DIR`` or a cluster-shared path /
