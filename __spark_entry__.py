@@ -147,6 +147,10 @@ def _parts_by_brand(spark, sf):
 
 
 def _events_sessions(spark, sf):
+    # the driver supplies its own session: pin UTC here too (unix_millis on
+    # NTZ timestamps is session-timezone-dependent; the DuckDB oracle's
+    # epoch_ms treats them as UTC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis(F.col("ts").cast("timestamp"))  # NTZ → epoch ms
