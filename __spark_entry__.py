@@ -480,6 +480,16 @@ def _ann_lsh(spark, sf):
     return lsh_ann_topk(e, q, k=5)
 
 
+def _ann_ivf(spark, sf):
+    """IVF coarse-quantizer ANN (rows-only: recall < 1 by construction,
+    like ann_lsh; the recall floor vs brute force is pinned in tests)."""
+    from heliport_spark.operators.similarity import ivf_ann_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_ann_topk(e, q, k=5, n_probe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -516,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_clips": _quality_filter_clips,
         "audio_features": _audio_features,
         "ann_lsh": _ann_lsh,
+        "ann_ivf": _ann_ivf,
     }
 
 

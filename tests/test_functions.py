@@ -118,3 +118,55 @@ def test_lsh_bucket_udf_matches_expr(spark):
         lsh_bucket_udf(planes)(F.col("embedding")).alias("k_udf"),
     )
     assert both.filter(F.col("k_expr") != F.col("k_udf")).count() == 0
+
+
+def test_ann_scale_paths_recall_floor(spark):
+    """Recall floors for the ANN scale paths (rows-only in the driver
+    contract precisely because recall < 1).
+
+    Two regimes: (a) the driver's near-random synthetic embeddings — only a
+    loose floor is meaningful there (sign-LSH per-bit agreement is ~0.55 on
+    uncorrelated vectors); (b) planted-neighbor data (clusters of perturbed
+    copies — the regime ANN is actually for), where both paths must recover
+    most of the true top-k."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from heliport_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    def recall(approx_df, exact_set):
+        got = {(r["query_id"], r["neighbor_id"]) for r in approx_df.collect()}
+        return len(got & exact_set) / len(exact_set)
+
+    # (a) driver embeddings: loose floors
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, q, k=5).collect()
+    }
+    assert recall(ivf_ann_topk(e, q, k=5, n_probe=4), exact) >= 0.5
+    assert recall(lsh_ann_topk(e, q, k=5), exact) >= 0.05
+
+    # (b) planted clusters: 100 bases x 4 noisy copies, dim 64
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((100, 64))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(4):
+            v = b + 0.15 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    pe = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(8)
+    pq = pe.filter(F.col("vec_id") % 40 == 0).limit(10)
+    pexact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(pe, pq, k=3).collect()
+    }
+    assert recall(ivf_ann_topk(pe, pq, k=3, n_probe=4), pexact) >= 0.6
+    assert recall(lsh_ann_topk(pe, pq, k=3), pexact) >= 0.6
