@@ -291,6 +291,14 @@ def _simhash(spark, sf):
     return simhash(_docs_repart(spark, sf))
 
 
+def _simhash_pairs(spark, sf):
+    """Near-dup pairs at Hamming ≤ bands−1 — exact (pigeonhole), so fully
+    oracle-checked unlike the recall<1 ANN paths."""
+    from heliport_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_repart(spark, sf))
+
+
 def _ann_bruteforce(spark, sf):
     from heliport_spark.operators.similarity import brute_force_topk
 
@@ -515,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "simhash": _simhash,
+        "simhash_pairs": _simhash_pairs,
         "ann_bruteforce": _ann_bruteforce,
         "embedding_neardup": _embedding_neardup,
         "boilerplate_spans": _boilerplate_spans,
@@ -577,6 +586,17 @@ def oracle_sql() -> dict[str, str]:
     _, spans_sql = scrub_sql("text")
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     fp_sql = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+    from heliport_spark.operators.dedup import (
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+        simhash_sql_cte,
+    )
+
+    _simhash_cte = simhash_sql_cte()
+    _sh_bands = SIMHASH_BANDS
+    _sh_rows = SIMHASH_BITS // SIMHASH_BANDS
+    _sh_mask = (1 << _sh_rows) - 1
 
     return {
         "q1_pricing_summary": """
@@ -760,18 +780,20 @@ SELECT c.id_a, c.id_b,
 FROM cands c JOIN inter ON c.id_a = inter.id_a AND c.id_b = inter.id_b
 JOIN sizes sa ON c.id_a = sa.id JOIN sizes sb ON c.id_b = sb.id
 WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.3""",
-        "simhash": """
-WITH words AS (
-  SELECT doc_id AS id, w FROM (
-    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-    FROM documents) WHERE w <> ''
+        "simhash": _simhash_cte + "\nSELECT id, simhash FROM sig",
+        "simhash_pairs": _simhash_cte + f""",
+bk AS (
+  SELECT id, simhash, g.b AS band,
+         (simhash >> (g.b * {_sh_rows})::INT) & {_sh_mask} AS key
+  FROM sig, generate_series(0, {_sh_bands - 1}) AS g(b)
 ),
-wh AS (SELECT id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words),
-ex AS (SELECT id, h, g.j FROM wh, generate_series(0, 15) AS g(j)),
-bits AS (SELECT id, j, sum(((h >> j::INT) % 2) * 2 - 1) AS s
-         FROM ex GROUP BY id, j)
-SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)::BIGINT AS simhash
-FROM bits GROUP BY id""",
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {_sh_bands - 1}""",
         "ann_bruteforce": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id < 10),

@@ -138,26 +138,29 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: "DataFrame | None" = None,
     ).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
-        # prune the shingle table to candidate ids BEFORE the self-join —
-        # the whole point of LSH is that this join never sees non-candidates.
-        # NO broadcast hint: the candidate set scales with corpus size (at
-        # 100 TB it will not fit in executor memory); a plain equi-join lets
-        # Catalyst/AQE broadcast only when the runtime size estimate is small
-        cand_ids = (
-            candidates.select(F.col("id_a").alias("id"))
-            .unionByName(candidates.select(F.col("id_b").alias("id")))
-            .distinct()
+        # intersections are driven through the candidate PAIR list, not a
+        # shingle self-join: candidates ⋈ shingles(id_a), then equi-join on
+        # (id_b, sh). Work is O(Σ_pairs |shingles(a)|) — a shingle shared by
+        # k candidate docs costs k pair-rows, never k² (the hot-shingle
+        # explosion of a self-join on `sh`; VERDICT r02 #3). NO broadcast
+        # hint anywhere: the candidate set scales with corpus size, AQE
+        # broadcasts from runtime size estimates when genuinely small.
+        sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh"))
+        sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh"))
+        inter = (
+            candidates.join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        sh = sh.join(cand_ids, "id")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"])
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
@@ -207,7 +210,11 @@ def duplicate_ngram_spans(df: DataFrame, n: int = 8, min_docs: int = 2,
     )
 
 
-SIMHASH_BITS = 16
+# Full h60 width: the word hash has 60 bits, so the signature can use all of
+# them (bits above 59 of h60 are always 0 ⇒ their sign-sums are always
+# negative ⇒ dead bits). 60 = 4 bands × 15 for the pairing operator below.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
 
 
 def simhash(df: DataFrame, text_col: str = "text",
@@ -235,3 +242,83 @@ def simhash(df: DataFrame, text_col: str = "text",
             F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
     return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", bits: int = SIMHASH_BITS,
+                  bands: int = SIMHASH_BANDS,
+                  max_hamming: int = SIMHASH_BANDS - 1) -> DataFrame:
+    """SimHash near-duplicate PAIRS: band the signature into ``bands``
+    equal-width keys, equi-join same-band keys, verify popcount of the XOR.
+    Output (id_a, id_b, hamming) with id_a < id_b, hamming ≤ max_hamming.
+
+    EXACT for ``max_hamming ≤ bands − 1``: two signatures differing in ≤
+    bands−1 bits must agree on at least one whole band (pigeonhole), so the
+    banded equi-join misses nothing and the operator is fully
+    oracle-checkable (unlike the recall<1 ANN paths).
+
+    Scale shape: signatures explode ×bands into an equi-join on
+    (band, key) — the same shuffle-partitionable candidate-generation shape
+    as MinHash-LSH (dedup.py:96-126); the Hamming verify is one bit_count
+    per surviving candidate pair, never an all-pairs scan."""
+    rows = bits // bands
+    key_mask = (1 << rows) - 1
+    sig = simhash(df, text_col, id_col, bits)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * rows)
+                .bitwiseAND(F.lit(key_mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    e = sig.select(
+        "id", "simhash", F.explode(band_structs).alias("bk")
+    ).select(
+        "id", "simhash",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()  # a pair can agree on several bands
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_sql_cte(bits: int = SIMHASH_BITS) -> str:
+    """DuckDB CTE computing the identical per-doc signature (shared constants
+    generate both engines' queries — CLAUDE.md oracle discipline)."""
+    return f"""
+WITH words AS (
+  SELECT doc_id AS id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents) WHERE w <> ''
+),
+wh AS (SELECT id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words),
+ex AS (SELECT id, h, g.j FROM wh, generate_series(0, {bits - 1}) AS g(j)),
+bits AS (SELECT id, j, sum(((h >> j::INT) % 2) * 2 - 1) AS s
+         FROM ex GROUP BY id, j),
+sig AS (
+  SELECT id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)::BIGINT AS simhash
+  FROM bits GROUP BY id
+)"""

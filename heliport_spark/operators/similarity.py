@@ -33,7 +33,9 @@ def _norm(a):
 
 
 def cosine_expr(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: cosine against a zero-norm vector is undefined → NULL
+    # (NULLs rank last under desc ordering), instead of an ANSI-mode error
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def brute_force_topk(
@@ -92,7 +94,11 @@ def lsh_bucket_expr(vec, planes: np.ndarray):
 
 def lsh_bucket_udf(planes: np.ndarray):
     """Arrow-batched bucket key: one (batch × dim) @ (dim × planes) BLAS
-    matmul per batch, bit-identical to ``lsh_bucket_expr``."""
+    matmul per batch. Value-identical to ``lsh_bucket_expr`` except float
+    ties: BLAS sums the dot product in a different order than Catalyst's
+    sequential aggregate, so a projection within rounding error of 0 can
+    flip sign and land in a different bucket (harmless for approximate ANN;
+    oracle-checked queries must pin the Catalyst expression path)."""
     from pyspark.sql.types import LongType
 
     P = planes.astype(np.float64)
@@ -167,8 +173,11 @@ def lsh_ann_topk(
 
     c = bucketed(df, "neighbor_id")
     q = bucketed(queries, "query_id")
+    # NO broadcast hint on the query side: callers may feed a large query set
+    # (corpus-vs-corpus); AQE's runtime size estimate broadcasts small sides
+    # on its own (VERDICT r02 #2 — same fix as ngram_jaccard_pairs r01)
     cands = (
-        c.join(F.broadcast(q), ["tbl", "bucket"])
+        c.join(q, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(
@@ -187,6 +196,22 @@ def lsh_ann_topk(
     )
 
 
+# Row budget for the IVF coarse-quantizer fit: k-means only needs enough
+# points to place n_centroids centers, so training is O(sample) — never a
+# (20-iteration) full pass over a 100 TB corpus.
+IVF_FIT_SAMPLE_MAX = 262_144
+
+
+def _ivf_fit_sample(feats: DataFrame, total_rows: int,
+                    sample_max: int, seed: int) -> DataFrame:
+    """Bounded k-means training sample: the full feature set when it already
+    fits the budget, else a Bernoulli sample at sample_max/total (row count
+    concentrates tightly around the budget)."""
+    if total_rows <= sample_max:
+        return feats
+    return feats.sample(False, sample_max / total_rows, seed=seed)
+
+
 def ivf_ann_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -196,29 +221,40 @@ def ivf_ann_topk(
     n_centroids: int = 16,
     n_probe: int = 2,
     seed: int = 42,
+    fit_sample_max: int = IVF_FIT_SAMPLE_MAX,
 ) -> DataFrame:
     """IVF-style ANN (the second scale path next to sign-LSH): a k-means
     coarse quantizer (pyspark.ml, seeded) partitions the corpus into
     inverted lists; each query probes its ``n_probe`` nearest centroids and
     ranks exact cosine only within those lists.
 
-    Scale shape: centroid training samples the corpus (k-means on a bounded
-    sample, centroids broadcast everywhere); list assignment is a pure
-    projection; candidate generation is an equi-join on ``centroid`` —
-    shuffle-partitionable by list, never a crossJoin. Recall < 1 by
-    construction (rows-only in the driver contract, like ann_lsh); the
-    recall-vs-brute-force floor is pinned in tests."""
+    Scale shape: centroid training fits on a BOUNDED Bernoulli sample
+    (≤ ``fit_sample_max`` rows — the corpus row count comes from one
+    metadata-cheap count, the 20 k-means iterations then scan only the
+    sample); list assignment is a pure projection; candidate generation is
+    an equi-join on ``centroid`` — shuffle-partitionable by list, never a
+    crossJoin, and never a forced query-side broadcast (AQE decides from
+    runtime sizes). Recall < 1 by construction (rows-only in the driver
+    contract, like ann_lsh); the recall-vs-brute-force floor is pinned in
+    tests."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     # L2-normalize for the quantizer: k-means cells are euclidean, the final
     # ranking is cosine — on the unit sphere the two orders agree, so cells
-    # align with cosine neighborhoods (measured +0.2 recall at n_probe=4)
+    # align with cosine neighborhoods (measured +0.2 recall at n_probe=4).
+    # Zero-norm vectors fall back to the raw zeros (NULL features would fail
+    # KMeans.fit on any corpus containing an all-zero embedding).
     def unit(v):
         nrm = F.sqrt(
             F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x)
         )
-        return F.transform(v, lambda x: x.cast("double") / F.nullif(nrm, F.lit(0.0)))
+        return F.transform(
+            v,
+            lambda x: F.coalesce(
+                x.cast("double") / F.nullif(nrm, F.lit(0.0)), F.lit(0.0)
+            ),
+        )
 
     feats = df.select(
         F.col(id_col).alias("neighbor_id"),
@@ -226,7 +262,10 @@ def ivf_ann_topk(
         array_to_vector(unit(F.col(vec_col))).alias("features"),
     )
     km = KMeans(k=n_centroids, seed=seed, maxIter=20)
-    model = km.fit(feats.select("features"))
+    fit_df = _ivf_fit_sample(
+        feats.select("features"), df.count(), fit_sample_max, seed
+    )
+    model = km.fit(fit_df)
     corpus = model.transform(feats).select(
         "neighbor_id", "cvec", F.col("prediction").alias("centroid")
     )
@@ -237,7 +276,7 @@ def ivf_ann_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         unit(F.col(vec_col)).alias("qunit"),
-    ).crossJoin(F.broadcast(cent_df))
+    ).crossJoin(cent_df)  # n_centroids rows, local — auto-broadcast by size
     d2 = F.aggregate(
         F.zip_with(
             F.col("qunit"), F.col("cent"),
@@ -253,7 +292,9 @@ def ivf_ann_topk(
         .filter(F.col("pr") <= n_probe)
         .select("query_id", "qvec", "centroid")
     )
-    joined = corpus.join(F.broadcast(probes), "centroid").filter(
+    # no forced broadcast of the probe set: it scales with the query set
+    # (n_probe rows per query) — AQE size estimates broadcast when small
+    joined = corpus.join(probes, "centroid").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = joined.withColumn(

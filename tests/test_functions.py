@@ -120,6 +120,69 @@ def test_lsh_bucket_udf_matches_expr(spark):
     assert both.filter(F.col("k_expr") != F.col("k_udf")).count() == 0
 
 
+def test_simhash_pairs_exact_vs_bruteforce(spark):
+    """Banded simhash pairing is EXACT for max_hamming <= bands-1
+    (pigeonhole: <=3 differing bits leave one of 4 bands intact) — verify
+    against an all-pairs popcount over the full sf0.01 signature set."""
+    from itertools import combinations
+
+    from heliport_spark.operators.dedup import (
+        SIMHASH_BANDS,
+        simhash,
+        simhash_pairs,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sigs = {r["id"]: r["simhash"] for r in simhash(d).collect()}
+    k = SIMHASH_BANDS - 1
+    expect = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= k
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(d).collect()
+    }
+    assert got == expect
+    assert expect  # the synthetic corpus must actually exercise the operator
+
+
+def test_ivf_fit_sample_bounded(spark):
+    """The k-means coarse-quantizer fit must train on a BOUNDED sample, not
+    the full corpus (VERDICT r02 #1): at 100 TB a 20-iteration full-corpus
+    fit is 20 full passes. Bernoulli sampling concentrates around the budget;
+    assert it's far below the corpus and within 2x of the budget."""
+    from heliport_spark.operators.similarity import _ivf_fit_sample
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    total = e.count()
+    budget = max(20, total // 10)
+    n = _ivf_fit_sample(e, total, budget, seed=42).count()
+    assert n <= 2 * budget
+    assert n < total
+    # under-budget corpora are used whole (no sampling pass at all)
+    assert _ivf_fit_sample(e, total, total + 1, seed=42) is e
+
+
+def test_ivf_survives_zero_norm_embedding(spark):
+    """An all-zero embedding must not crash KMeans.fit (the L2-normalize
+    used to emit NULL features via nullif; ADVICE r02): the quantizer falls
+    back to the raw zero vector."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from heliport_spark.operators.similarity import ivf_ann_topk
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(49)]
+    rows.append((49, [0.0] * 16))
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(4)
+    q = e.filter(F.col("vec_id") < 2)
+    out = ivf_ann_topk(e, q, k=2, n_centroids=4, n_probe=2)
+    assert out.count() > 0
+
+
 def test_ann_scale_paths_recall_floor(spark):
     """Recall floors for the ANN scale paths (rows-only in the driver
     contract precisely because recall < 1).

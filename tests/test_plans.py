@@ -105,6 +105,29 @@ def test_jaccard_verify_never_forces_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_ann_scale_paths_never_force_broadcast(spark):
+    """The ANN query side scales with the caller's query set (corpus-vs-
+    corpus joins); neither scale path may FORCE a broadcast (VERDICT r02 #2).
+    Same proof shape as the jaccard test above: with the broadcast threshold
+    disabled, zero BroadcastExchange means any broadcast ever taken comes
+    from Catalyst/AQE size estimates, not hints."""
+    from pyspark.sql import functions as F
+
+    from heliport_spark.operators.similarity import ivf_ann_topk, lsh_ann_topk
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") < 10)
+        assert "BroadcastExchange" not in plan_of(lsh_ann_topk(e, q, k=5))
+        assert "BroadcastExchange" not in plan_of(
+            ivf_ann_topk(e, q, k=5, n_centroids=4)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_scrub_is_whole_stage_codegen(spark):
     from heliport_spark.functions.scrub import scrub_expr
 
