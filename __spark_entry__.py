@@ -147,13 +147,15 @@ def _parts_by_brand(spark, sf):
 
 
 def _events_sessions(spark, sf):
-    # the driver supplies its own session: pin UTC here too (unix_millis on
-    # NTZ timestamps is session-timezone-dependent; the DuckDB oracle's
-    # epoch_ms treats them as UTC)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis(F.col("ts").cast("timestamp"))  # NTZ → epoch ms
+    # NTZ → epoch ms via a timezone-INDEPENDENT expression: timestampdiff on
+    # two NTZ operands never consults the session timezone, so this matches
+    # the DuckDB oracle's epoch_ms (UTC) under ANY driver session timezone —
+    # no session-conf mutation (an earlier version set
+    # spark.sql.session.timeZone=UTC here, permanently leaking the setting
+    # into the caller's session; ADVICE r02)
+    ms = F.expr("timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     gap = ms - F.lag(ms).over(w)
     return (
         e.withColumn("new_session", F.when(gap > 1_800_000, 1).otherwise(0))

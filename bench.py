@@ -197,10 +197,16 @@ def run_scaling() -> dict:
     state_path = os.environ.get(
         "SPARK_GRAFT_SCALE_STATE", f"/tmp/heliport_scaling_state_{_sf_label(SF_DIR)}.json"
     )
+    # Version-key the resume state to the input table identity: legs recorded
+    # against a different scaling input (e.g. the pre-salting v1 clips) must
+    # not be min-merged with fresh measurements (ADVICE r02).
+    version = SCALING_CLIPS
     state: dict = {}
     if os.path.exists(state_path):
         with open(state_path) as fh:
             state = json.load(fh)
+        if state.get("version") != version:
+            state = {}
     results: dict = state.get("results", {})
     done: list = state.get("done", [])
     # Interleave levels across rounds and keep each level's best sample:
@@ -222,7 +228,9 @@ def run_scaling() -> dict:
                 results[k] = r
             done.append(leg)
             with open(state_path, "w") as fh:
-                json.dump({"results": results, "done": done}, fh)
+                json.dump(
+                    {"version": version, "results": results, "done": done}, fh
+                )
     try:
         hw = {str(c): round(_cpu_baseline(c), 0) for c in ladder}
     except Exception:

@@ -22,14 +22,16 @@ import sys
 _MP_SCORER = None
 
 
-def _mp_init(model_dir, langs):
+def _mp_init(model_dir, langs, strict_confidence=True):
     """Pool-worker initializer: each process opens the same mmap'd model
     (page-cache shared across processes — resident cost is one copy/host)."""
     global _MP_SCORER
     from .heli import Scorer
     from .model import get_model
 
-    _MP_SCORER = Scorer(get_model(model_dir, langs=langs))
+    _MP_SCORER = Scorer(
+        get_model(model_dir, langs=langs, strict_confidence=strict_confidence)
+    )
 
 
 def _mp_identify(payload):
@@ -54,7 +56,8 @@ def cmd_identify(args) -> int:
         # load in the parent either way: -j workers fork and inherit the
         # mmap'd model (zero per-worker load), and bad model dirs / lang
         # codes fail fast here instead of inside pool initializers
-        model = get_model(model_dir, langs=langs)
+        model = get_model(model_dir, langs=langs,
+                          strict_confidence=not args.not_strict)
     except (FileNotFoundError, ValueError) as e:
         print(f"error: could not load model: {e}", file=sys.stderr)
         return 1
@@ -99,7 +102,8 @@ def cmd_identify(args) -> int:
 
             ctx = mp.get_context("fork")
             with ctx.Pool(
-                jobs, initializer=_mp_init, initargs=(str(model_dir), langs)
+                jobs, initializer=_mp_init,
+                initargs=(str(model_dir), langs, not args.not_strict),
             ) as pool:
                 work = ((b, args.ignore_confidence) for b in batches())
                 for labels, scores in pool.imap(_mp_identify, work, chunksize=1):
@@ -211,6 +215,11 @@ def main(argv=None) -> int:
                    help="worker processes for identify (reference -j, "
                         "src/cli/identify.rs:20-33); 1 = in-process")
     p.add_argument("-c", "--ignore-confidence", action="store_true")
+    p.add_argument("-n", "--not-strict", action="store_true",
+                   help="do not fail when a confidenceThresholds override "
+                        "file is missing a language (reference identify -n, "
+                        "src/cli/identify.rs:47-51); missing langs get "
+                        "threshold 0")
     p.add_argument("-s", "--print-scores", action="store_true")
     p.add_argument("-p", "--precision", type=int, default=4)
     p.add_argument("-m", "--model-dir", default=None)

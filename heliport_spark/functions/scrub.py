@@ -54,7 +54,12 @@ def scrub_expr(col: "Column | str") -> "tuple[Column, Column]":
     dirty = c0.rlike(_TRIGGER)
     return (
         F.when(dirty, c).otherwise(c0),
-        F.when(dirty, spans).otherwise(F.lit(0)).cast("int"),
+        # NULL text → NULL spans (matching the DuckDB oracle and the plain
+        # regexp_count chain, which both propagate NULL); the early-exit
+        # otherwise(0) only applies to genuinely clean non-NULL rows
+        F.when(c0.isNull(), F.lit(None).cast("int"))
+        .when(dirty, spans.cast("int"))
+        .otherwise(F.lit(0)),
     )
 
 

@@ -111,10 +111,17 @@ class HeliModel:
     grams left with no postings are removed — matching the reference's
     from_text_langs semantics where an excluded-language gram is simply
     absent (back-off continues past it).
+
+    ``strict_confidence``: when the model dir carries a plain-text
+    ``confidenceThresholds`` file (a user-supplied override next to the
+    artifact, mirroring the reference's plain-model load), it is re-parsed at
+    load time; strict mode fails on a missing language, ``-n/--not-strict``
+    tolerates it with threshold 0 (identify.rs:47-51, languagemodel.rs:214+).
     """
 
     def __init__(self, model_dir: "str | os.PathLike" = DEFAULT_MODEL_DIR,
-                 langs: "list[str] | None" = None):
+                 langs: "list[str] | None" = None,
+                 strict_confidence: bool = True):
         d = Path(model_dir)
         if not (d / "meta.json").exists():
             raise FileNotFoundError(
@@ -146,7 +153,15 @@ class HeliModel:
                     keys, offsets, plang, pprob, lang_ids
                 )
             self.orders.append(OrderTable(keys, offsets, plang, pprob))
-        self.confidence = np.load(d / "confidence.npy")
+        thresholds_txt = d / "confidenceThresholds"
+        if thresholds_txt.exists():
+            from .model_compile import load_confidence
+
+            self.confidence = load_confidence(
+                thresholds_txt, strict=strict_confidence
+            )
+        else:
+            self.confidence = np.load(d / "confidence.npy")
         assert self.confidence.shape == (N_LANGS,)
         self.keep_table = np.load(d / "keep_table.npy", mmap_mode="r")
         self.cjk_table = np.load(d / "cjk_table.npy", mmap_mode="r")
@@ -172,11 +187,14 @@ _MODEL_CACHE: dict = {}
 
 
 def get_model(model_dir: "str | os.PathLike" = DEFAULT_MODEL_DIR,
-              langs: "list[str] | None" = None) -> HeliModel:
+              langs: "list[str] | None" = None,
+              strict_confidence: bool = True) -> HeliModel:
     """Process-wide model singleton (mirrors python.rs:68-87's LazyLock)."""
-    key = (str(model_dir), tuple(sorted(langs)) if langs else None)
+    key = (str(model_dir), tuple(sorted(langs)) if langs else None,
+           strict_confidence)
     m = _MODEL_CACHE.get(key)
     if m is None:
-        m = HeliModel(model_dir, langs=langs)
+        m = HeliModel(model_dir, langs=langs,
+                      strict_confidence=strict_confidence)
         _MODEL_CACHE[key] = m
     return m

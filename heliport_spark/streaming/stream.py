@@ -60,6 +60,7 @@ def streaming_exact_dedup(
     clips_stream: DataFrame,
     text_col: str = "transcript",
     id_col: str = "clip_id",
+    ttl_ms: "int | None" = None,
 ):
     """Custom stateful streaming operator: exact dedup across the whole
     stream via ``applyInPandasWithState``, keyed by the fingerprint itself.
@@ -80,8 +81,14 @@ def streaming_exact_dedup(
         spark.sql.streaming.stateStore.providerClass=
           org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
 
-    and add a timeout (GroupStateTimeout + state.setTimeoutDuration) if the
-    dedup window may be bounded in event time.
+    ``ttl_ms`` bounds state lifetime (VERDICT r02 #4 — without it, key count
+    grows with the stream forever): each fingerprint's state expires
+    ``ttl_ms`` after the last trigger that touched it
+    (ProcessingTimeTimeout; the timeout fires in the first micro-batch after
+    expiry, where the state row is dropped). An expired fingerprint that
+    recurs later is re-admitted — i.e. dedup over a sliding processing-time
+    window, the standard web-crawl tradeoff between state size and dedup
+    horizon. ``None`` keeps the unbounded exact behavior.
     """
     from pyspark.sql.streaming.state import GroupState
     from pyspark.sql.types import (
@@ -103,6 +110,11 @@ def streaming_exact_dedup(
     state_schema = StructType([StructField("n_seen", LongType())])
 
     def dedup_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # TTL expiry: drop the state row; the fingerprint re-admits on
+            # its next occurrence (keys with data this batch never time out)
+            state.remove()
+            return
         chunks = [pdf[[id_col, text_col, "fp"]] for pdf in pdfs]
         batch = pd.concat(chunks) if chunks else pd.DataFrame(
             columns=[id_col, text_col, "fp"]
@@ -116,6 +128,9 @@ def streaming_exact_dedup(
             if n_new:
                 # deterministic survivor: min id within the first batch
                 yield batch.sort_values(id_col).iloc[[0]]
+        if ttl_ms is not None:
+            # refreshed every touched batch: TTL counts from last activity
+            state.setTimeoutDuration(ttl_ms)
 
     from ..functions.text import fingerprint
 
@@ -124,8 +139,9 @@ def streaming_exact_dedup(
         F.col(text_col),
         fingerprint(F.col(text_col)).alias("fp"),
     )
+    timeout = "NoTimeout" if ttl_ms is None else "ProcessingTimeTimeout"
     return with_fp.groupBy("fp").applyInPandasWithState(
-        dedup_fn, out_schema, state_schema, "append", "NoTimeout"
+        dedup_fn, out_schema, state_schema, "append", timeout
     )
 
 

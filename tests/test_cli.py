@@ -54,6 +54,33 @@ def test_identify_parallel_matches_single_thread():
     assert len(p4.stdout.splitlines()) == len(lines)
 
 
+def test_identify_not_strict_confidence():
+    """-n/--not-strict parity (reference identify -n, src/cli/identify.rs:
+    47-51): a confidenceThresholds override file missing one language fails
+    the strict default load and passes under -n (missing lang → threshold 0,
+    languagemodel.rs:214+)."""
+    import os
+    import tempfile
+
+    src = "/root/repo/models/heli"
+    with tempfile.TemporaryDirectory(prefix="hs_notstrict_") as d:
+        for f in os.listdir(src):
+            os.symlink(os.path.join(src, f), os.path.join(d, f))
+        # thresholds copied from the reference model, minus one language
+        ref = "/root/reference/LanguageModels/confidenceThresholds"
+        lines = open(ref, encoding="utf-8").read().splitlines()
+        kept = [ln for ln in lines if not ln.startswith("spa\t")]
+        assert len(kept) == len(lines) - 1
+        with open(os.path.join(d, "confidenceThresholds"), "w") as fh:
+            fh.write("\n".join(kept) + "\n")
+        strict = run_cli(["identify", "-m", d], stdin="Hola, ¿qué tal?\n")
+        assert strict.returncode == 1
+        assert "spa" in strict.stderr  # names the missing language
+        relaxed = run_cli(["identify", "-n", "-m", d], stdin="Hola, ¿qué tal?\n")
+        assert relaxed.returncode == 0
+        assert relaxed.stdout.splitlines() == ["spa"]
+
+
 def test_compile_model_refuses_overwrite_without_force():
     """binarize -f parity (/root/reference/src/cli/binarize.rs:13-29): the
     committed artifact exists, so compile-model must refuse without -f."""

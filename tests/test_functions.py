@@ -46,6 +46,39 @@ def test_scrub_clean_text_untouched(spark):
     assert r["n"] == 0
 
 
+def test_scrub_null_propagates(spark):
+    """NULL text → NULL scrubbed text AND NULL span count, matching the
+    DuckDB oracle's regexp chain (ADVICE r02: the early-exit otherwise(0)
+    used to turn NULL into 0, diverging for non-aggregate consumers)."""
+    from pyspark.sql.types import StringType
+
+    scrubbed, spans = scrub_expr("t")
+    df = spark.createDataFrame([(None,)], schema="t string")
+    r = df.select(scrubbed.alias("s"), spans.alias("n")).collect()[0]
+    assert r["s"] is None
+    assert r["n"] is None
+
+
+def test_events_sessions_timezone_independent(spark):
+    """events_sessions must neither mutate the session timezone nor depend
+    on it (ADVICE r02: it used to set spark.sql.session.timeZone=UTC as a
+    side effect): identical results under UTC and America/New_York."""
+    import __spark_entry__ as e
+
+    q = e.queries()["events_sessions"]
+    sf = "/root/testdata/sf0.01"
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        nyc = sorted(map(tuple, q(spark, sf).collect()))
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = sorted(map(tuple, q(spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+    assert nyc == utc
+
+
 def test_text_ratios(spark):
     c = F.col("t")
     r = _one(

@@ -135,6 +135,78 @@ def test_streaming_dedup_state_is_per_fingerprint(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_streaming_dedup_ttl_expires_and_readmits(spark):
+    """TTL-bounded dedup (VERDICT r02 #4): the state row for an idle
+    fingerprint is dropped after ttl_ms, and the SAME transcript arriving
+    after expiry is emitted again; within the TTL it is still deduped.
+
+    Harness note: with ProcessingTimeTimeout the engine keeps scheduling
+    'no new data but cleaning up state' micro-batches (that is HOW idle keys
+    expire without fresh data), so ``processAllAvailable`` never settles —
+    the test polls the sink with deadlines instead."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from heliport_spark.streaming.stream import streaming_exact_dedup
+
+    base = tempfile.mkdtemp(prefix="hs_dedup_ttl_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ttl_ms = 8_000
+
+    def sink_count():
+        try:
+            return spark.read.parquet(out_dir).count()
+        except Exception:
+            return 0  # sink dir not created yet
+
+    def wait_for(n, deadline_s=120):
+        end = time.time() + deadline_s
+        while time.time() < end:
+            c = sink_count()
+            if c >= n:
+                return c
+            time.sleep(1)
+        return sink_count()
+
+    try:
+        one = golden_clips(spark).filter(
+            F.length("transcript") > 0
+        ).limit(1).cache()
+        one.write.mode("overwrite").parquet(in_dir)
+        stream = stream_clips_from_directory(spark, in_dir, max_files_per_trigger=100)
+        q = (
+            streaming_exact_dedup(stream, ttl_ms=ttl_ms)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            assert wait_for(1) == 1
+            # within TTL: a duplicate transcript is dropped (and refreshes
+            # the key's TTL)
+            one.withColumn("clip_id", F.lit("dup-early")).write.mode(
+                "append"
+            ).parquet(in_dir)
+            time.sleep(5)
+            assert sink_count() == 1
+            # idle past the TTL: the state-cleanup micro-batches remove the
+            # key, so the same transcript re-admits and is emitted again
+            time.sleep(ttl_ms / 1000 + 6)
+            one.withColumn("clip_id", F.lit("dup-late")).write.mode(
+                "append"
+            ).parquet(in_dir)
+            assert wait_for(2) == 2
+        finally:
+            q.stop()
+            one.unpersist()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_streaming_dedup_on_rocksdb_state_store(spark):
     """The production state-store configuration (RocksDB, documented in
     streaming/stream.py for 100 TB state) runs the same dedup correctly:
