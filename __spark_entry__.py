@@ -463,6 +463,22 @@ def _audio_features(spark, sf):
     )
 
 
+def _audio_mel(spark, sf):
+    """REAL log-mel feature extraction (numpy STFT + Slaney filterbank) over
+    the PCM column — rows-only (FFT is not ANSI-SQL-expressible)."""
+    from heliport_spark.functions.audio import mel_stats_df
+    from heliport_spark.sources.clips import clips_from_documents
+
+    clips = clips_from_documents(spark, sf, with_golden=False, max_pcm_ms=500)
+    feats = mel_stats_df(clips)
+    return feats.groupBy("sr_hz").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg("mel_mean"), 4).alias("avg_mel_mean"),
+        F.sum("n_frames").alias("total_frames"),
+        F.round(F.avg("mel_dom_bin"), 2).alias("avg_dom_bin"),
+    )
+
+
 def _boilerplate_spans(spark, sf):
     from heliport_spark.operators.dedup import duplicate_ngram_spans
 
@@ -536,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heli_topk_docs": _heli_topk_docs,
         "quality_filter_clips": _quality_filter_clips,
         "audio_features": _audio_features,
+        "audio_mel": _audio_mel,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
     }

@@ -1,4 +1,4 @@
-"""Audio/multimodal column handling: PCM decode, SNR, typed-metadata stubs.
+"""Audio/multimodal column handling: PCM/WAV decode, mel features, SNR.
 
 The engine's input rows carry audio as an opaque ``bytes: binary`` column
 with typed metadata (``sr_hz``, ``dur_ms``, ``codec``) — BASELINE.json
@@ -6,8 +6,15 @@ input_hint. The quality-filter pipeline must pass PCM through *untouched*
 (allclose / SNR ≥ 30 dB after a decode→re-encode round trip), which these
 helpers implement and the tests assert.
 
-Real codec decode (opus/mp3), image decode, and frame sampling need native
-libs absent from this container — those entry points are STUBBED with
+Real in this container (pure numpy / stdlib — no native libs needed):
+* PCM s16le decode/encode and waveform statistics,
+* WAV (RIFF) container parse → (waveform, sample rate, channels),
+* linear resampling,
+* log-mel features: Hann-windowed STFT (``np.fft.rfft``) → power spectrum
+  → Slaney-style triangular mel filterbank → log.
+
+Only lossy codec decode (opus/mp3), image decode, and video frame sampling
+genuinely need native libs absent here — those entry points are STUBBED with
 ``NotImplementedError`` but keep real Spark plumbing (schemas, Arrow batch
 shapes) so swapping in a real decoder is a one-function change.
 """
@@ -95,6 +102,164 @@ def audio_features_df(df: DataFrame, bytes_col: str = "bytes",
     return df.mapInPandas(run, schema=out_schema)
 
 
+# --------------------------------------------------------- WAV (RIFF) parse
+
+def decode_wav(raw: bytes) -> "tuple[np.ndarray, int, int]":
+    """Parse a WAV/RIFF container → (float32 waveform in [-1, 1), sample
+    rate, channels). Pure stdlib/numpy chunk walk: reads the ``fmt `` chunk
+    (PCM16 only — format tag 1), then the ``data`` chunk; multi-channel data
+    stays interleaved → (frames, channels) is ``wave.reshape(-1, ch)``.
+
+    Raises ValueError on a malformed container or a non-PCM16 format (lossy
+    codecs are ``decode_compressed_audio``'s stub territory)."""
+    import struct
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(raw):
+        cid, sz = raw[pos:pos + 4], struct.unpack("<I", raw[pos + 4:pos + 8])[0]
+        body = raw[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, sr_hz, _byte_rate, _block_align, bits = fmt
+    if tag != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV format tag={tag} bits={bits} "
+                         "(only PCM16)")
+    wave = decode_pcm_s16le(data)
+    return wave, int(sr_hz), int(channels)
+
+
+def encode_wav(wave: np.ndarray, sr_hz: int, channels: int = 1) -> bytes:
+    """float32 waveform → minimal PCM16 WAV container (decode_wav inverse)."""
+    import struct
+
+    data = encode_pcm_s16le(wave)
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sr_hz, sr_hz * block, block, 16)
+    chunks = b"".join([
+        b"fmt ", struct.pack("<I", len(fmt)), fmt,
+        b"data", struct.pack("<I", len(data)), data,
+    ])
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def resample_linear(wave: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resample (mono). Deterministic, numpy-only —
+    adequate for feature extraction; swap for a polyphase filter when a DSP
+    lib is available."""
+    if sr_in == sr_out or len(wave) == 0:
+        return wave.astype(np.float32, copy=False)
+    n_out = max(1, int(round(len(wave) * sr_out / sr_in)))
+    x_out = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    return np.interp(
+        x_out, np.arange(len(wave), dtype=np.float64), wave
+    ).astype(np.float32)
+
+
+# ------------------------------------------------------------- mel features
+
+def hz_to_mel(f):
+    """Slaney-style mel scale (linear below 1 kHz, log above) — the
+    librosa/matlab auditory-toolbox convention."""
+    f = np.asarray(f, dtype=np.float64)
+    mel = np.where(
+        f < 1000.0,
+        f * 3.0 / 200.0,
+        15.0 + np.log(np.maximum(f, 1000.0) / 1000.0) / (np.log(6.4) / 27.0),
+    )
+    return mel
+
+
+def mel_to_hz(m):
+    m = np.asarray(m, dtype=np.float64)
+    return np.where(
+        m < 15.0,
+        m * 200.0 / 3.0,
+        1000.0 * np.exp((m - 15.0) * (np.log(6.4) / 27.0)),
+    )
+
+
+def mel_filterbank(sr_hz: int, n_fft: int, n_mels: int) -> np.ndarray:
+    """(n_mels, n_fft//2+1) triangular filters on the Slaney mel scale."""
+    f_max = sr_hz / 2.0
+    mel_pts = np.linspace(0.0, float(hz_to_mel(f_max)), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    fft_freqs = np.arange(n_fft // 2 + 1, dtype=np.float64) * sr_hz / n_fft
+    fb = np.zeros((n_mels, len(fft_freqs)), dtype=np.float64)
+    for i in range(n_mels):
+        lo, ctr, hi = hz_pts[i], hz_pts[i + 1], hz_pts[i + 2]
+        up = (fft_freqs - lo) / max(ctr - lo, 1e-12)
+        down = (hi - fft_freqs) / max(hi - ctr, 1e-12)
+        fb[i] = np.maximum(0.0, np.minimum(up, down))
+    return fb.astype(np.float32)
+
+
+def mel_features(wave: np.ndarray, sr_hz: int, n_mels: int = 80,
+                 n_fft: int = 400, hop: int = 160) -> np.ndarray:
+    """Log-mel spectrogram (n_frames, n_mels), REAL implementation:
+    Hann-windowed framed ``np.fft.rfft`` → power spectrum → mel filterbank →
+    ``log(1 + mel)``. Pure numpy — no DSP libs required. 25 ms window /
+    10 ms hop at 16 kHz with the librosa-convention Slaney filterbank."""
+    wave = np.asarray(wave, dtype=np.float64)
+    if len(wave) < n_fft:
+        wave = np.pad(wave, (0, n_fft - len(wave)))
+    n_frames = 1 + (len(wave) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = wave[idx] * np.hanning(n_fft)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    mel = power @ mel_filterbank(sr_hz, n_fft, n_mels).T.astype(np.float64)
+    return np.log1p(mel).astype(np.float32)
+
+
+def mel_stats_df(df: DataFrame, bytes_col: str = "bytes",
+                 sr_col: str = "sr_hz", n_mels: int = 80) -> DataFrame:
+    """Append log-mel summary columns (n_frames, mel_mean, mel_dom_bin)
+    computed with the REAL ``mel_features`` over Arrow batches — the
+    feature-extraction stage of an audio training-data pipeline. Bytes stay
+    executor-side; the summary keeps the driver-facing schema flat-scalar
+    (the full (frames × mels) matrix would be per-clip payload, not a query
+    result)."""
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("n_frames", IntegerType()),
+            StructField("mel_mean", FloatType()),
+            StructField("mel_dom_bin", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            nf = np.zeros(n, dtype=np.int32)
+            mm = np.zeros(n, dtype=np.float32)
+            dom = np.zeros(n, dtype=np.int32)
+            srs = pdf[sr_col].to_numpy()
+            for i, raw in enumerate(pdf[bytes_col]):
+                if raw is None or len(raw) == 0:
+                    continue
+                mel = mel_features(decode_pcm_s16le(raw), int(srs[i]),
+                                   n_mels=n_mels)
+                nf[i] = mel.shape[0]
+                mm[i] = float(mel.mean())
+                dom[i] = int(np.argmax(mel.mean(axis=0)))
+            pdf = pdf.copy(deep=False)
+            pdf["n_frames"] = nf
+            pdf["mel_mean"] = mm
+            pdf["mel_dom_bin"] = dom
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 # ------------------------------------------------------------------ stubs
 
 MEL_SCHEMA = StructType(
@@ -106,17 +271,9 @@ def decode_compressed_audio(raw: bytes, codec: str) -> np.ndarray:
     """Decode opus/mp3/flac → waveform. STUB: no codec libs in this container."""
     raise NotImplementedError(
         f"codec '{codec}' decode requires libsndfile/ffmpeg (not in container); "
-        "pcm_s16le is handled by decode_pcm_s16le"
+        "pcm_s16le is handled by decode_pcm_s16le and WAV containers by "
+        "decode_wav"
     )
-
-
-def mel_features(wave: np.ndarray, sr_hz: int, n_mels: int = 80) -> np.ndarray:
-    """Log-mel feature extraction. STUB (no DSP libs); deterministic fake
-    with the real output shape for plumbing tests."""
-    hop = 160
-    n_frames = max(1, len(wave) // hop)
-    rng = np.random.default_rng(len(wave) * 2654435761 % (2**32))
-    return rng.standard_normal((n_frames, n_mels)).astype(np.float32)
 
 
 def sample_video_frames(raw: bytes, every_ms: int = 1000) -> "list[bytes]":

@@ -127,10 +127,51 @@ def test_multimodal_stubs():
         decode_compressed_audio(b"\x00", "opus")
     with pytest.raises(NotImplementedError):
         sample_video_frames(b"\x00")
+
+
+def test_mel_features_real():
+    """mel_features is a REAL log-mel (numpy STFT + Slaney filterbank, no
+    DSP libs): silence → zeros; a pure tone's energy lands in the mel bin
+    whose filter peaks at the tone frequency."""
+    from heliport_spark.functions.audio import mel_filterbank
+
     m = mel_features(np.zeros(1600, dtype=np.float32), 16000)
-    assert m.shape == (10, 80) and m.dtype == np.float32
-    m2 = mel_features(np.zeros(1600, dtype=np.float32), 16000)
-    np.testing.assert_array_equal(m, m2)  # deterministic fake
+    assert m.shape == (8, 80) and m.dtype == np.float32  # 400/160 framing
+    np.testing.assert_array_equal(m, 0.0)  # log1p(0) — true silence
+
+    sr, f0 = 16000, 1000.0
+    t = np.arange(sr, dtype=np.float64) / sr
+    tone = (0.5 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    mt = mel_features(tone, sr)
+    fb = mel_filterbank(sr, 400, 80)
+    tone_bin = int(round(f0 * 400 / sr))
+    expect = int(np.argmax(fb[:, tone_bin]))
+    got = int(np.argmax(mt.mean(axis=0)))
+    assert abs(got - expect) <= 1
+    # energy is concentrated: the winning bin dominates the far field
+    assert mt.mean(axis=0)[got] > 10 * mt.mean(axis=0)[min(got + 20, 79)]
+
+
+def test_wav_roundtrip_and_resample():
+    from heliport_spark.functions.audio import (
+        decode_wav,
+        encode_wav,
+        resample_linear,
+    )
+
+    rng = np.random.default_rng(3)
+    w = (rng.uniform(-1, 1, 3200) * 0.7).astype(np.float32)
+    raw = encode_wav(w, 16000)
+    w2, sr, ch = decode_wav(raw)
+    assert (sr, ch) == (16000, 1)
+    assert snr_db(w, w2) > 30.0
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav")
+    # linear resample: length scales, and a slow ramp survives ~losslessly
+    ramp = np.linspace(-0.5, 0.5, 8000).astype(np.float32)
+    up = resample_linear(ramp, 8000, 16000)
+    assert abs(len(up) - 16000) <= 1
+    assert snr_db(np.linspace(-0.5, 0.5, len(up)).astype(np.float32), up) > 40.0
 
 
 def test_lsh_bucket_udf_matches_expr(spark):
