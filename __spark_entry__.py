@@ -498,6 +498,36 @@ def _deterministic_split(spark, sf):
     return hash_split(_t(spark, sf, "documents"))
 
 
+def _gopher_rules(spark, sf):
+    from heliport_spark.operators.corpus import gopher_quality
+
+    return gopher_quality(_t(spark, sf, "documents"))
+
+
+# decontamination query params: every 11th doc is "benchmark", 4-gram
+# overlap — chosen so the sf0.01 fixture genuinely exercises the operator
+# (71 contaminated docs; 8-grams/sparser benchmarks matched zero rows)
+DECON_MOD = 11
+DECON_N = 4
+
+
+def _decontaminate(spark, sf):
+    """Eval-set decontamination: distinct word-n-gram overlap between the
+    corpus and a deterministic benchmark subset."""
+    from heliport_spark.operators.corpus import decontaminate
+
+    d = _docs_repart(spark, sf)
+    bench = d.filter(F.col("doc_id") % DECON_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % DECON_MOD != 0)
+    return decontaminate(corpus, bench, n=DECON_N)
+
+
+def _quota_sample(spark, sf):
+    from heliport_spark.operators.corpus import quota_sample
+
+    return quota_sample(_t(spark, sf, "documents"), k=5)
+
+
 def _ann_lsh(spark, sf):
     from heliport_spark.operators.similarity import lsh_ann_topk
 
@@ -547,6 +577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_spans": _boilerplate_spans,
         "corpus_stats": _corpus_stats,
         "deterministic_split": _deterministic_split,
+        "gopher_rules": _gopher_rules,
+        "decontaminate": _decontaminate,
+        "quota_sample": _quota_sample,
         # rows-only (no SQL oracle possible):
         "heli_identify_docs": _heli_identify_docs,
         "heli_topk_docs": _heli_topk_docs,
@@ -616,6 +649,33 @@ def oracle_sql() -> dict[str, str]:
     _sh_bands = SIMHASH_BANDS
     _sh_rows = SIMHASH_BITS // SIMHASH_BANDS
     _sh_mask = (1 << _sh_rows) - 1
+
+    from heliport_spark.operators.corpus import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS,
+    )
+
+    _g = dict(
+        minw=GOPHER_MIN_WORDS, maxw=GOPHER_MAX_WORDS,
+        minl=GOPHER_MIN_MEAN_WORD_LEN, maxl=GOPHER_MAX_MEAN_WORD_LEN,
+        minsh=GOPHER_MIN_STOPWORD_HITS,
+    )
+    # word-n-gram CTE for decontaminate (mirrors boilerplate_spans' shape)
+    _gramn = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, i::INT, i::INT + {DECON_N - 1}), ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - {DECON_N - 1}, 0))) AS i
+        FROM w)
+),
+d AS (SELECT DISTINCT doc_id, gram FROM g)"""
 
     return {
         "q1_pricing_summary": """
@@ -865,6 +925,41 @@ WITH s AS (
         FROM documents)
 )
 SELECT source, split, count(*) AS n_docs FROM s GROUP BY source, split""",
+        "gopher_rules": f"""
+WITH m AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS nw,
+         CASE WHEN trim(text) = '' THEN 0.0
+              ELSE length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                   / len(string_split_regex(trim(text), '\\s+')) END AS mwl,
+         CASE WHEN trim(text) = '' THEN 0 ELSE
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> list_contains([{stop_list}], x))) END AS sh
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN nw BETWEEN {_g["minw"]} AND {_g["maxw"]}
+                AND mwl BETWEEN {_g["minl"]} AND {_g["maxl"]}
+                AND sh >= {_g["minsh"]} THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+       round(avg(nw), 4) AS avg_words,
+       round(avg(mwl), 4) AS avg_word_len
+FROM m GROUP BY source""",
+        "decontaminate": _gramn + f""",
+bench AS (SELECT DISTINCT gram FROM d WHERE doc_id % {DECON_MOD} = 0),
+corp AS (SELECT doc_id, gram FROM d WHERE doc_id % {DECON_MOD} <> 0)
+SELECT corp.doc_id AS id, count(*) AS n_shared
+FROM corp JOIN bench USING (gram) GROUP BY corp.doc_id""",
+        "quota_sample": """
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                    doc_id) AS rk
+  FROM documents
+)
+SELECT source, doc_id FROM r WHERE rk <= 5""",
         "embedding_neardup": """
 WITH px AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    unnest(a.embedding)::DOUBLE AS ae,

@@ -91,6 +91,21 @@ def repetition_ratio(c: Column, max_run: int = 3) -> Column:
     return (F.regexp_count(c, F.lit(pat)) > 0).cast("int")
 
 
+def word_ngrams_expr(text: Column, n: int) -> Column:
+    """All word n-gram strings of the whitespace-tokenized text (empty array
+    when the text has fewer than n tokens) — shared by boilerplate-span
+    detection (operators/dedup.py) and decontamination (operators/corpus.py)."""
+    toks = F.split(F.trim(text), r"\s+")
+    n_w = F.size(toks)
+    return F.when(
+        n_w >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_w - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def fingerprint(c: Column) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-normalized,
     lowercased text (portable to the DuckDB oracle)."""

@@ -1,4 +1,4 @@
-"""Corpus-profiling and reproducible-sampling operators.
+"""Corpus-profiling, quality-rule, decontamination, and sampling operators.
 
 Standard large-scale training-data pipeline steps that sit alongside dedup
 and quality filtering:
@@ -12,9 +12,21 @@ and quality filtering:
   on any engine, any run, any partitioning — reproducibility at 100 TB).
   Scale note: the split column is a pure projection (no shuffle); the
   per-split counts here are just the oracle-checkable summary.
+* ``gopher_quality`` — Gopher-style document-level quality rules (word-count
+  bounds, mean-word-length bounds, stopword presence): pure-projection
+  metrics + a keep flag, summarized per group.
+* ``decontaminate`` — benchmark n-gram overlap detection (the eval-set
+  decontamination step every LLM data pipeline runs): distinct word n-grams
+  of the corpus semi-joined against the benchmark's n-gram set. Scale
+  shape: explode → distinct → equi-join on the gram (the benchmark side is
+  small and AQE broadcasts it from size estimates — never forced).
+* ``quota_sample`` — deterministic per-group quota sampling: rank rows by
+  the portable md5 hash of their id and keep the first k per group — a
+  reproducible "take N docs per domain" data-mixing primitive (no RNG, no
+  global sort; one window shuffle on the group key).
 
-Both are pure Catalyst; at scale the aggregates are map-side combinable
-(counts) or single-shuffle sorted aggregations (percentile).
+All pure Catalyst; at scale the aggregates are map-side combinable (counts)
+or single-shuffle sorted aggregations (percentile).
 """
 
 from __future__ import annotations
@@ -47,6 +59,102 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     out = df.withColumn("split", split_expr(F.col(id_col)))
     return out.groupBy(*group_cols, "split").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# Gopher-style doc-quality thresholds (Rae et al. 2021 §A1.1 shape, bounds
+# tuned to the synthetic fixtures so both outcomes occur).
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 1_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MIN_STOPWORD_HITS = 1
+
+
+def gopher_metrics(text: Column) -> "dict[str, Column]":
+    """Per-doc quality metrics (pure projections)."""
+    from ..functions.text import STOPWORDS, n_tokens
+
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    nw = n_tokens(text)
+    mwl = F.when(
+        nw > 0,
+        (F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / nw),
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    )
+    return {"n_words": nw, "mean_word_len": mwl, "stop_hits": stop_hits}
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   group_cols: "tuple[str, ...]" = ("source",)) -> DataFrame:
+    """Per-group Gopher-rule summary: doc count, keep count, mean metrics."""
+    m = gopher_metrics(F.col(text_col))
+    keep = (
+        (m["n_words"] >= GOPHER_MIN_WORDS)
+        & (m["n_words"] <= GOPHER_MAX_WORDS)
+        & (m["mean_word_len"] >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (m["mean_word_len"] <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (m["stop_hits"] >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    rows = df.select(
+        *[F.col(g) for g in group_cols],
+        m["n_words"].alias("n_words"),
+        m["mean_word_len"].alias("mwl"),
+        keep.cast("int").alias("keep"),
+    )
+    return rows.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_keep"),
+        F.round(F.avg("n_words"), 4).alias("avg_words"),
+        F.round(F.avg("mwl"), 4).alias("avg_word_len"),
+    )
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Benchmark-overlap detection: for each corpus doc, the number of
+    distinct word ``n``-grams it shares with the benchmark set. Output
+    (id, n_shared) for contaminated docs only.
+
+    Scale shape: both sides explode to distinct (id, gram) / (gram) rows;
+    the join key is the gram string — high cardinality, well-distributed;
+    the benchmark gram set is typically small enough that AQE broadcasts it
+    (never forced, same rule as the dedup/ANN paths)."""
+    from ..functions.text import word_ngrams_expr
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams_expr(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    bench_grams = benchmark.select(
+        F.explode(word_ngrams_expr(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    return (
+        grams.join(bench_grams, "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def quota_sample(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+                 group_cols: "tuple[str, ...]" = ("source",)) -> DataFrame:
+    """Deterministic per-group quota sample: the k rows with the smallest
+    portable md5 hash of their id (id as tiebreak). Reproducible on any
+    engine/run/partitioning — no RNG."""
+    from pyspark.sql import Window
+
+    from .dedup import h60
+
+    h = h60(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.select(*[F.col(g) for g in group_cols], F.col(id_col))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(*group_cols, id_col)
     )
 
 

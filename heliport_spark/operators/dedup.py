@@ -190,15 +190,9 @@ def duplicate_ngram_spans(df: DataFrame, n: int = 8, min_docs: int = 2,
     Scale: one explode (≈ words-per-doc rows each) into a hash aggregate with
     map-side combine on a high-cardinality key — same shuffle shape as T1
     counting; no self-join, no all-pairs."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_w = F.size(toks)
-    grams = F.when(
-        n_w >= n,
-        F.transform(
-            F.sequence(F.lit(1), n_w - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from ..functions.text import word_ngrams_expr
+
+    grams = word_ngrams_expr(F.col(text_col), n)
     per_doc = (
         df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
         .distinct()
