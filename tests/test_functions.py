@@ -194,6 +194,39 @@ def test_lsh_bucket_udf_matches_expr(spark):
     assert both.filter(F.col("k_expr") != F.col("k_udf")).count() == 0
 
 
+def test_quota_sample_partitioning_invariant(spark):
+    """quota_sample must pick the SAME rows regardless of physical layout
+    (its whole point: reproducible data mixing with no RNG)."""
+    from heliport_spark.operators.corpus import quota_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = sorted(map(tuple, quota_sample(d, k=5).collect()))
+    b = sorted(map(tuple, quota_sample(d.repartition(13), k=5).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_decontaminate_never_forces_broadcast(spark):
+    """The benchmark gram set scales with the benchmark corpus; nothing may
+    FORCE a broadcast (same rule as the dedup/ANN verify paths)."""
+    from pyspark.sql import functions as F
+
+    from heliport_spark.operators.corpus import decontaminate
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        q = decontaminate(
+            d.filter(F.col("doc_id") % 11 != 0),
+            d.filter(F.col("doc_id") % 11 == 0),
+            n=4,
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_simhash_pairs_exact_vs_bruteforce(spark):
     """Banded simhash pairing is EXACT for max_hamming <= bands-1
     (pigeonhole: <=3 differing bits leave one of 4 bands intact) — verify
