@@ -145,6 +145,125 @@ def streaming_exact_dedup(
     )
 
 
+def minhash_band_keys_expr(text, bands: "int | None" = None):
+    """Per-row MinHash band keys as a PURE PROJECTION (no shuffle): the
+    stream-safe twin of ``operators/dedup.minhash_lsh_candidates``'s
+    explode→aggregate signature computation. SAME constants
+    (MINHASH_PARAMS / LSH_BANDS / 5-char shingles / h60), so a row gets the
+    identical band signature in batch and streaming.
+
+    Returns array<struct<band:int, sig:string>>. Uses higher-order
+    functions (interpreted per element) — fine for stream rates; the batch
+    path keeps the faster hash-aggregate form."""
+    from ..operators.dedup import (
+        LSH_BANDS,
+        MERSENNE_P,
+        MINHASH_PARAMS,
+        h60,
+        shingles_expr,
+    )
+
+    bands = bands or LSH_BANDS
+    rows_per_band = len(MINHASH_PARAMS) // bands
+    hs = F.transform(
+        shingles_expr(text, 5), lambda s: h60(s) % F.lit(MERSENNE_P)
+    )
+    mins = [
+        F.array_min(
+            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P))
+        )
+        for (a, b) in MINHASH_PARAMS
+    ]
+    structs = []
+    for band in range(bands):
+        sig = F.concat_ws(
+            ",",
+            *[
+                m.cast("string")
+                for m in mins[band * rows_per_band:(band + 1) * rows_per_band]
+            ],
+        )
+        structs.append(
+            F.struct(F.lit(band).alias("band"), sig.alias("sig"))
+        )
+    return F.array(*structs)
+
+
+def streaming_minhash_candidates(
+    clips_stream: DataFrame,
+    text_col: str = "transcript",
+    id_col: str = "clip_id",
+    max_ids_per_bucket: int = 8,
+    ttl_ms: "int | None" = None,
+):
+    """Streaming near-duplicate CANDIDATE detection: the stateful twin of
+    the batch MinHash-LSH operator. Each row projects to its LSH band keys
+    (``minhash_band_keys_expr`` — no shuffle before the stateful stage);
+    state is keyed by (band, sig) and holds the first
+    ``max_ids_per_bucket`` ids seen in that bucket, so a new arrival emits
+    one candidate pair per stored same-bucket id — across micro-batches,
+    surviving restarts through the checkpoint.
+
+    Output rows (id_a, id_b) with id_a < id_b; a pair agreeing on several
+    bands is emitted once per band (downstream exact-Jaccard verification
+    is idempotent, and a streaming global distinct would need a second
+    stateful stage).
+
+    Scale notes: per-key state is BOUNDED (a hot boilerplate bucket stores
+    only its first k ids — the batch operator is the exhaustive path);
+    ``ttl_ms`` bounds state lifetime exactly like streaming_exact_dedup."""
+    from pyspark.sql.streaming.state import GroupState
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    import pandas as pd
+
+    out_schema = StructType(
+        [StructField("id_a", StringType()), StructField("id_b", StringType())]
+    )
+    state_schema = StructType([StructField("ids", ArrayType(StringType()))])
+
+    def pair_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: "list[str]" = list(state.get[0]) if state.exists else []
+        out_a: "list[str]" = []
+        out_b: "list[str]" = []
+        for pdf in pdfs:
+            for new_id in pdf["id"]:
+                for seen in ids:
+                    if seen == new_id:
+                        break
+                else:
+                    for seen in ids:
+                        a, b = sorted((seen, new_id))
+                        out_a.append(a)
+                        out_b.append(b)
+                    if len(ids) < max_ids_per_bucket:
+                        ids.append(new_id)
+        state.update((ids,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    keyed = clips_stream.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.explode(minhash_band_keys_expr(F.col(text_col))).alias("bk"),
+    ).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+    timeout = "NoTimeout" if ttl_ms is None else "ProcessingTimeTimeout"
+    return keyed.groupBy("band", "sig").applyInPandasWithState(
+        pair_fn, out_schema, state_schema, "append", timeout
+    )
+
+
 def windowed_lang_counts(
     scored_stream: DataFrame,
     event_time_col: str = "event_time",

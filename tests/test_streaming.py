@@ -272,6 +272,79 @@ def test_streaming_dedup_on_rocksdb_state_store(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_streaming_minhash_candidates_match_batch(spark):
+    """The streaming LSH candidate operator finds exactly the pairs the
+    batch operator finds on the same corpus — including pairs whose two
+    docs arrive in DIFFERENT micro-batches (state carries the bucket
+    membership across triggers). Bucket cap set above any fixture bucket so
+    the comparison is exact; pairs are compared as unordered sets (the
+    stream emits one row per agreeing band)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from heliport_spark.operators.dedup import minhash_lsh_candidates
+    from heliport_spark.streaming.stream import streaming_minhash_candidates
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            F.col("doc_id").cast("string").alias("clip_id"),
+            F.col("text").alias("transcript"),
+        )
+    )
+    expect = {
+        frozenset((str(r["id_a"]), str(r["id_b"])))
+        for r in minhash_lsh_candidates(
+            docs, text_col="transcript", id_col="clip_id"
+        ).collect()
+    }
+    assert expect  # fixture must actually produce candidate pairs
+
+    base = tempfile.mkdtemp(prefix="hs_mh_stream_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    try:
+        half_a = docs.filter(F.col("clip_id").cast("int") % 2 == 0)
+        half_b = docs.filter(F.col("clip_id").cast("int") % 2 == 1)
+        half_a.write.mode("overwrite").parquet(in_dir)
+        schema = StructType(
+            [
+                StructField("clip_id", StringType()),
+                StructField("transcript", StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 100)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming_minhash_candidates(stream, max_ids_per_bucket=64)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            half_b.write.mode("append").parquet(in_dir)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            frozenset((r["id_a"], r["id_b"]))
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert got == expect
+        # and the split genuinely exercised cross-batch state: at least one
+        # pair spans the two halves
+        assert any(
+            len({int(x) % 2 for x in p}) == 2 for p in expect
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_windowed_lang_counts_plan(spark):
     # watermark + window aggregation compiles against a streaming source
     clips = golden_clips(spark).withColumn(
