@@ -46,6 +46,26 @@ def test_scrub_clean_text_untouched(spark):
     assert r["n"] == 0
 
 
+def test_scrub_apply_equals_scrub_expr(spark):
+    """scrub_apply (gate-once hot path) must produce byte-identical output
+    to the inline scrub_expr twins on dirty, clean, empty, and NULL rows —
+    it is an evaluation-strategy change, never a semantics change."""
+    from heliport_spark.functions.scrub import scrub_apply
+
+    rows = [
+        ("mail a@b.com and ssn 123-45-6789 you badword",),
+        ("a perfectly clean sentence",),
+        ("",),
+        (None,),
+        ("digits 123 but no pii shapes here 2024",),  # gate false-positive
+    ]
+    df = spark.createDataFrame(rows, schema="t string")
+    s, n = scrub_expr("t")
+    a = df.select(s.alias("s"), n.alias("n")).collect()
+    b = scrub_apply(df, "t", text_out="s", spans_out="n").select("s", "n").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_scrub_null_propagates(spark):
     """NULL text → NULL scrubbed text AND NULL span count, matching the
     DuckDB oracle's regexp chain (ADVICE r02: the early-exit otherwise(0)

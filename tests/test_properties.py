@@ -102,3 +102,27 @@ def test_window_hash_equals_shingle_hash(words):
             got = _hash_windows(buf, wstart, t)
             want = hash_grams(sh)
             assert got.tolist() == want.tolist()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=0.99609375, allow_nan=False, width=32),
+        min_size=1, max_size=400,
+    ),
+    st.sampled_from([8000, 16000, 22050, 44100]),
+)
+def test_wav_roundtrip_property(samples, sr):
+    """encode_wav∘decode_wav is the identity on already-quantized PCM for
+    any waveform/sample-rate (the WAV parser is a real RIFF chunk walk)."""
+    from heliport_spark.functions.audio import (
+        decode_pcm_s16le,
+        decode_wav,
+        encode_pcm_s16le,
+        encode_wav,
+    )
+
+    w = decode_pcm_s16le(encode_pcm_s16le(np.asarray(samples, np.float32)))
+    w2, sr2, ch = decode_wav(encode_wav(w, sr))
+    assert sr2 == sr and ch == 1
+    np.testing.assert_array_equal(w, w2)
