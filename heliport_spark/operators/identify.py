@@ -37,15 +37,19 @@ from ..model import DEFAULT_MODEL_DIR
 _WORKER_SCORERS: dict = {}
 
 
-def _get_worker_scorer(model_dir: str, exact: bool):
+def _get_worker_scorer(model_dir: str, exact: bool,
+                       langs: "tuple[str, ...] | None" = None):
     """Per-process scorer singleton (survives across tasks via worker reuse)."""
-    key = (model_dir, exact)
+    key = (model_dir, exact, langs)
     sc = _WORKER_SCORERS.get(key)
     if sc is None:
         from ..heli import Scorer
         from ..model import get_model
 
-        sc = Scorer(get_model(model_dir), exact=exact)
+        sc = Scorer(
+            get_model(model_dir, langs=list(langs) if langs else None),
+            exact=exact,
+        )
         _WORKER_SCORERS[key] = sc
     return sc
 
@@ -62,6 +66,7 @@ def identify_df(
     exact: bool = False,
     with_ft: bool = False,
     prefix: str = "",
+    langs: "list[str] | None" = None,
 ) -> DataFrame:
     """Append langid columns: ``lang``, ``score``, ``raw_score``, ``cjk_pct``
     (+ ``ft_lang``, ``ft_prob`` when ``with_ft``).
@@ -69,6 +74,9 @@ def identify_df(
     ``score`` follows the reference CLI semantics
     (/root/reference/src/cli/identify.rs:43-46): confidence margin when
     thresholds are applied, raw HeLI score when ``ignore_confidence``.
+    ``langs`` restricts scoring to a language subset (reference T8 /
+    ``relevant_langs``, languagemodel.rs:62-83 — the DataFrame twin of the
+    CLI ``-l``): each worker loads the posting-filtered model once.
 
     Implementation: a *scalar* pandas UDF returning a struct — only the text
     column crosses the JVM↔Python Arrow boundary. (An earlier mapInPandas
@@ -90,9 +98,11 @@ def identify_df(
         ]
     struct_type = StructType(fields)
 
+    langs_key = tuple(sorted(langs)) if langs else None
+
     @F.pandas_udf(returnType=struct_type)
     def heli_udf(texts: pd.Series) -> pd.DataFrame:
-        scorer = _get_worker_scorer(mdir, exact)
+        scorer = _get_worker_scorer(mdir, exact, langs_key)
         tl = ["" if t is None else str(t) for t in texts]
         labels, score, raw, cjk = scorer.identify_batch(tl, ignore_confidence)
         out = pd.DataFrame(

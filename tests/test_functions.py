@@ -214,6 +214,28 @@ def test_lsh_bucket_udf_matches_expr(spark):
     assert both.filter(F.col("k_expr") != F.col("k_udf")).count() == 0
 
 
+def test_identify_df_relevant_langs(spark):
+    """DataFrame-level T8 (relevant_langs, the twin of CLI -l): restricted
+    to {spa, eng}, a Polish sentence can no longer win as pol, while the
+    Spanish golden stays spa."""
+    from heliport_spark.operators.identify import identify_df
+
+    df = spark.createDataFrame(
+        [("Hola, ¿qué tal?",), ("DOKUMENT INFORMACYJNY NR",)],
+        schema="transcript string",
+    )
+    full = {r["transcript"]: r["lang"] for r in identify_df(df).collect()}
+    assert full["DOKUMENT INFORMACYJNY NR"] == "pol"
+    sub = {
+        r["transcript"]: r["lang"]
+        for r in identify_df(
+            df, ignore_confidence=True, langs=["spa", "eng"]
+        ).collect()
+    }
+    assert sub["Hola, ¿qué tal?"] == "spa"
+    assert sub["DOKUMENT INFORMACYJNY NR"] in ("spa", "eng")
+
+
 def test_quota_sample_partitioning_invariant(spark):
     """quota_sample must pick the SAME rows regardless of physical layout
     (its whole point: reproducible data mixing with no RNG)."""
