@@ -133,7 +133,8 @@ def cmd_compile_model(args) -> int:
         )
         return 1
     out = compile_model(
-        args.src, out_dir, args.langs.split(",") if args.langs else None
+        args.src, out_dir, args.langs.split(",") if args.langs else None,
+        strict_confidence=not args.not_strict,
     )
     print(f"compiled model artifact at {out}", file=sys.stderr)
     return 0
@@ -235,6 +236,10 @@ def main(argv=None) -> int:
     p.add_argument("--langs", default=None)
     p.add_argument("-f", "--force", action="store_true",
                    help="overwrite an existing artifact (reference binarize -f)")
+    p.add_argument("-s", "--not-strict", action="store_true",
+                   help="do not fail when confidenceThresholds is missing a "
+                        "language (reference binarize -s, "
+                        "src/cli/binarize.rs:25-28)")
     p.set_defaults(fn=cmd_compile_model)
 
     p = sub.add_parser("create-model")
