@@ -522,6 +522,15 @@ def _decontaminate(spark, sf):
     return decontaminate(corpus, bench, n=DECON_N)
 
 
+def _corpus_sketches(spark, sf):
+    """HLL distinct counts + quantile-summary percentiles (rows-only:
+    sketches are estimate-valued by design, no bit-exact oracle; accuracy
+    floors vs the exact operators are pinned in tests)."""
+    from heliport_spark.operators.corpus import corpus_sketches
+
+    return corpus_sketches(_t(spark, sf, "documents"))
+
+
 def _quota_sample(spark, sf):
     from heliport_spark.operators.corpus import quota_sample
 
@@ -588,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mel": _audio_mel,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
+        "corpus_sketches": _corpus_sketches,
     }
 
 

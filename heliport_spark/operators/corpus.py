@@ -158,6 +158,37 @@ def quota_sample(df: DataFrame, k: int = 5, id_col: str = "doc_id",
     )
 
 
+def corpus_sketches(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    group_cols: "tuple[str, ...]" = ("source",)) -> DataFrame:
+    """Sketch-based corpus profile — the 100 TB companion to the exact
+    ``length_stats``: HyperLogLog distinct counts (``approx_count_distinct``,
+    fixed relative error, O(1) state per group) and quantile summaries
+    (``approx_percentile``, bounded-error mergeable sketch) instead of exact
+    count-distinct / sorted-aggregation percentiles. Driver-checked
+    rows-only: sketch results are estimate-valued by design (and their
+    merge order varies with partitioning), so there is no bit-exact SQL
+    oracle — accuracy bounds are pinned in tests against the exact
+    operators instead."""
+    c = F.col(text_col)
+    gcols = [F.col(g) for g in group_cols]
+    # doc-level sketches BEFORE any explode (percentiles over exploded rows
+    # would weight each doc by its word count — caught by the accuracy test)
+    doc_level = df.select(
+        *gcols, F.col(id_col).alias("id"), F.length(c).alias("len")
+    ).groupBy(*group_cols).agg(
+        F.approx_count_distinct("id").alias("approx_docs"),
+        F.approx_percentile("len", F.lit(0.5), F.lit(2000)).alias("p50_len_approx"),
+        F.approx_percentile("len", F.lit(0.95), F.lit(2000)).alias("p95_len_approx"),
+    )
+    vocab = df.select(
+        *gcols, F.explode(F.split(F.lower(F.trim(c)), r"\s+")).alias("w")
+    ).groupBy(*group_cols).agg(
+        F.approx_count_distinct("w").alias("approx_vocab")
+    )
+    return doc_level.join(vocab, list(group_cols))
+
+
 def length_stats(df: DataFrame, text_col: str = "text",
                  group_cols: "tuple[str, ...]" = ("source",)) -> DataFrame:
     """Per-group corpus profile: doc count, exact length percentiles

@@ -236,6 +236,33 @@ def test_identify_df_relevant_langs(spark):
     assert sub["DOKUMENT INFORMACYJNY NR"] in ("spa", "eng")
 
 
+def test_corpus_sketches_accuracy_vs_exact(spark):
+    """Sketch aggregates (HLL + quantile summary) must land within their
+    documented error bounds of the exact operators: approx_count_distinct
+    default rsd is 5%, approx_percentile at accuracy 2000 is near-exact at
+    this scale."""
+    from pyspark.sql import functions as F
+
+    from heliport_spark.operators.corpus import corpus_sketches, length_stats
+
+    import numpy as np
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    approx = {r["source"]: r for r in corpus_sketches(d).collect()}
+    lens: dict = {}
+    for r in d.select("source", F.length("text").alias("l")).collect():
+        lens.setdefault(r["source"], []).append(r["l"])
+    assert set(approx) == set(lens)
+    for src, row in approx.items():
+        n = len(lens[src])
+        assert abs(row["approx_docs"] - n) <= max(2, 0.15 * n)
+        # the sketch median must be an actual order statistic near the true
+        # median (interpolation-free bound: within the exact p35..p65 band —
+        # groups are only ~25 docs at sf0.01, so element gaps are wide)
+        lo, hi = np.percentile(lens[src], [35, 65])
+        assert lo <= row["p50_len_approx"] <= hi, (src, row["p50_len_approx"], lo, hi)
+
+
 def test_quota_sample_partitioning_invariant(spark):
     """quota_sample must pick the SAME rows regardless of physical layout
     (its whole point: reproducible data mixing with no RNG)."""
