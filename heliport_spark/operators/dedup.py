@@ -80,12 +80,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def _minhash_wide(df: DataFrame, text_col: str, id_col: str,
                   n_shingle: int) -> DataFrame:
     """(id, mh0..mh{H-1}): all minhashes in ONE hash-aggregate — no H-fold
-    row explosion, one shuffle of the distinct (id, shingle-hash) pairs with
-    map-side partial mins."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_expr(F.col(text_col), n_shingle)).alias("sh"),
-    ).withColumn("h", h60(F.col("sh")) % F.lit(MERSENNE_P))
+    row explosion, one shuffle of the (id, shingle-hash) pairs with
+    map-side partial mins.
+
+    Shingles come from a codegen'd ``explode(sequence) + substr(col, col)``
+    rather than ``shingles_expr``'s transform-HOF (higher-order functions
+    are interpreted per element — the HOF explode alone measured 1.10 s vs
+    0.34 s for this form on 5k docs at local[32]). Duplicate shingles are
+    deliberately NOT removed: ``min`` over duplicates is identical, so
+    skipping array_distinct keeps everything whole-stage-codegen and the
+    result bit-equal to the distinct-shingle oracle (verified row-for-row)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    sh = (
+        df.select(F.col(id_col).alias("id"), norm.alias("norm"))
+        .select(
+            "id", "norm",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("norm") - F.lit(n_shingle - 1), F.lit(1)),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "id", F.col("norm").substr(F.col("i"), F.lit(n_shingle)).alias("sh")
+        )
+        .withColumn("h", h60(F.col("sh")) % F.lit(MERSENNE_P))
+    )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS)
