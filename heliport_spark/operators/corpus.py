@@ -123,15 +123,16 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 8,
     the join key is the gram string — high cardinality, well-distributed;
     the benchmark gram set is typically small enough that AQE broadcasts it
     (never forced, same rule as the dedup/ANN paths)."""
-    from ..functions.text import word_ngrams_expr
+    from ..functions.text import word_ngrams_exploded
 
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams_expr(F.col(text_col), n)).alias("gram"),
+    grams = word_ngrams_exploded(
+        df, n, text_col=text_col, id_col=id_col
     ).distinct()
-    bench_grams = benchmark.select(
-        F.explode(word_ngrams_expr(F.col(text_col), n)).alias("gram")
-    ).distinct()
+    bench_grams = (
+        word_ngrams_exploded(benchmark, n, text_col=text_col, id_col=id_col)
+        .select("gram")
+        .distinct()
+    )
     return (
         grams.join(bench_grams, "gram")
         .groupBy("id")

@@ -211,13 +211,11 @@ def duplicate_ngram_spans(df: DataFrame, n: int = 8, min_docs: int = 2,
     Scale: one explode (≈ words-per-doc rows each) into a hash aggregate with
     map-side combine on a high-cardinality key — same shuffle shape as T1
     counting; no self-join, no all-pairs."""
-    from ..functions.text import word_ngrams_expr
+    from ..functions.text import word_ngrams_exploded
 
-    grams = word_ngrams_expr(F.col(text_col), n)
-    per_doc = (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
-        .distinct()
-    )
+    per_doc = word_ngrams_exploded(
+        df, n, text_col=text_col, id_col=id_col
+    ).distinct()
     return (
         per_doc.groupBy("gram")
         .agg(F.countDistinct("id").alias("n_docs"))
