@@ -230,29 +230,61 @@ SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
 
 
+# SWAR packing for the simhash sign-sums: each 64-bit aggregation buffer
+# holds SIMHASH_LANES independent bit-counters of SIMHASH_LANE_BITS each.
+# Lane l of pack k counts bit j = k·LANES + l of the word hash; the sign of
+# the classic ±1 sum is recovered as 2·cnt_j > n_words (identical result,
+# since Σ(2·bit−1) = 2·cnt − n). 21-bit lanes cap a document at 2^21−1
+# (~2M) words before a lane overflows into its neighbour — far beyond any
+# single transcript/doc; documented bound, asserted nowhere hot.
+SIMHASH_LANES = 3
+SIMHASH_LANE_BITS = 21
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash over word hashes: bit j of the signature is the sign of
     Σ_words (2·bit_j(h(word)) − 1). Output (id, simhash bigint).
 
     Oracle-portable: the j-expansion is a generated table join, and bit_j is
-    integer shift/mod arithmetic on the md5-derived hash.
-    """
+    integer shift/mod arithmetic on the md5-derived hash. The Spark side
+    packs the 60 per-bit counters into ⌈60/3⌉ = 20 SWAR accumulators (plus
+    one row count) instead of 60 separate sign-sum buffers — ~3× fewer
+    aggregate updates per word row, bit-identical signatures (the DuckDB
+    twin keeps the readable per-bit form; equality is what the oracle
+    checks)."""
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
     wh = words.withColumn("h", h60(F.col("w")))
-    # one sign-sum aggregate per bit (literal shifts; no row explosion)
-    aggs = [
-        F.sum((F.shiftright(F.col("h"), j) % 2) * 2 - 1).alias(f"s{j}")
-        for j in range(bits)
-    ]
-    sums = wh.groupBy("id").agg(*aggs)
+    one = F.lit(1).cast("bigint")
+    npacks = -(-bits // SIMHASH_LANES)
+    packs = []
+    for k in range(npacks):
+        lanes = None
+        for lane in range(SIMHASH_LANES):
+            j = k * SIMHASH_LANES + lane
+            if j >= bits:
+                break
+            term = F.shiftright(F.col("h"), j).bitwiseAND(one)
+            if lane:
+                term = F.shiftleft(term, SIMHASH_LANE_BITS * lane)
+            lanes = term if lanes is None else lanes + term
+        packs.append(F.sum(lanes).alias(f"p{k}"))
+    # single shuffle: the map-side partial agg already reduces each map
+    # partition to one 21-bigint buffer per id — a (id,word)-pre-agg variant
+    # was A/B'd and is a wash here while adding a second exchange.
+    sums = wh.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packs)
+    lane_mask = F.lit((1 << SIMHASH_LANE_BITS) - 1).cast("bigint")
     sig = F.lit(0).cast("bigint")
     for j in range(bits):
+        k, lane = divmod(j, SIMHASH_LANES)
+        cnt = F.shiftright(F.col(f"p{k}"), SIMHASH_LANE_BITS * lane).bitwiseAND(
+            lane_mask
+        )
         sig = sig + F.when(
-            F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")
+            cnt * 2 > F.col("n"), F.lit(1 << j).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
     return sums.select("id", sig.alias("simhash"))
 
