@@ -463,6 +463,28 @@ def _audio_features(spark, sf):
     )
 
 
+def _audio_signal_rules(spark, sf):
+    """Signal-level keep/drop gate (silence/clipping/metadata-drift) over
+    decoded PCM — rows-only (the decode is not ANSI-SQL-expressible). The
+    flags themselves are pure-Catalyst projections on the Arrow-batch
+    waveform stats; in the full pipeline this runs after the metadata and
+    transcript gates so only survivors pay the decode."""
+    from heliport_spark.functions.audio import audio_features_df, audio_signal_flags
+    from heliport_spark.sources.clips import (
+        clips_from_documents,
+        signal_adversarial_clips,
+    )
+
+    clips = clips_from_documents(spark, sf, with_golden=False, max_pcm_ms=500)
+    clips = clips.unionByName(signal_adversarial_clips(spark))
+    gated = audio_signal_flags(audio_features_df(clips))
+    return gated.groupBy("signal_flags", "keep_signal").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg("silence_ratio"), 4).alias("avg_silence"),
+        F.round(F.avg("clip_ratio"), 4).alias("avg_clip_ratio"),
+    )
+
+
 def _audio_mel(spark, sf):
     """REAL log-mel feature extraction (numpy STFT + Slaney filterbank) over
     the PCM column — rows-only (FFT is not ANSI-SQL-expressible)."""
@@ -595,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_clips": _quality_filter_clips,
         "audio_features": _audio_features,
         "audio_mel": _audio_mel,
+        "audio_signal_rules": _audio_signal_rules,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
         "corpus_sketches": _corpus_sketches,

@@ -26,6 +26,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     FloatType,
@@ -61,11 +62,21 @@ def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
     return 10.0 * np.log10(ps / pn)
 
 
+# Frame length for silence detection (ms) and the frame-RMS floor below
+# which a frame counts as silent ([-1,1) float scale). The synthetic corpus
+# sits at RMS ≈ 0.21 (0.3·sine + noise), so only genuinely quiet audio trips
+# these.
+SILENCE_FRAME_MS = 20
+SILENCE_RMS = 0.01
+
+
 def audio_features_df(df: DataFrame, bytes_col: str = "bytes",
                       sr_col: str = "sr_hz") -> DataFrame:
-    """Append cheap waveform statistics (rms, peak, n_samples, clip_ratio)
-    computed from the PCM column via Arrow batches. The bytes column passes
-    through untouched."""
+    """Append cheap waveform statistics (rms, peak, n_samples, clip_ratio,
+    silence_ratio) computed from the PCM column via Arrow batches. The bytes
+    column passes through untouched. ``silence_ratio`` is the fraction of
+    20 ms frames whose RMS falls below ``SILENCE_RMS`` — the VAD-lite input
+    to the signal keep/drop gate (audio_signal_flags)."""
     out_schema = StructType(
         list(df.schema.fields)
         + [
@@ -73,6 +84,7 @@ def audio_features_df(df: DataFrame, bytes_col: str = "bytes",
             StructField("rms", FloatType()),
             StructField("peak", FloatType()),
             StructField("clip_ratio", FloatType()),
+            StructField("silence_ratio", FloatType()),
         ]
     )
 
@@ -83,6 +95,8 @@ def audio_features_df(df: DataFrame, bytes_col: str = "bytes",
             rms = np.zeros(n, dtype=np.float32)
             peak = np.zeros(n, dtype=np.float32)
             clip = np.zeros(n, dtype=np.float32)
+            sil = np.ones(n, dtype=np.float32)  # empty/NULL audio = silent
+            srs = pdf[sr_col].to_numpy() if sr_col in pdf else None
             for i, raw in enumerate(pdf[bytes_col]):
                 if raw is None or len(raw) == 0:
                     continue
@@ -92,14 +106,59 @@ def audio_features_df(df: DataFrame, bytes_col: str = "bytes",
                     rms[i] = float(np.sqrt(np.mean(w.astype(np.float64) ** 2)))
                     peak[i] = float(np.max(np.abs(w)))
                     clip[i] = float(np.mean(np.abs(w) >= 32767.0 / 32768.0))
+                    sr = int(srs[i]) if srs is not None and srs[i] else 16000
+                    frame = max(1, sr * SILENCE_FRAME_MS // 1000)
+                    nfr = len(w) // frame
+                    if nfr:
+                        fr = w[: nfr * frame].astype(np.float64)
+                        fr = fr.reshape(nfr, frame)
+                        frms = np.sqrt(np.mean(fr * fr, axis=1))
+                        sil[i] = float(np.mean(frms < SILENCE_RMS))
+                    else:
+                        sil[i] = 1.0 if rms[i] < SILENCE_RMS else 0.0
             pdf = pdf.copy(deep=False)
             pdf["n_samples"] = ns
             pdf["rms"] = rms
             pdf["peak"] = peak
             pdf["clip_ratio"] = clip
+            pdf["silence_ratio"] = sil
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# Signal-gate thresholds (audio twin of operators/quality.py rule_flags).
+MAX_CLIP_RATIO = 0.01      # >1% full-scale samples ⇒ clipped / distorted
+MAX_SILENCE_RATIO = 0.5    # mostly-silent audio can't back its transcript
+MIN_RMS = 0.005            # essentially digital silence end-to-end
+MAX_DUR_DRIFT = 0.02       # |n_samples/sr − dur_ms/1000| tolerance (2%)
+
+
+def audio_signal_flags(df: DataFrame,
+                       sr_col: str = "sr_hz",
+                       dur_col: str = "dur_ms") -> DataFrame:
+    """Pure-Catalyst keep/drop gate over the waveform statistics emitted by
+    ``audio_features_df`` — the signal-level twin of the transcript rules
+    (operators/quality.py). Appends ``signal_flags`` (comma-joined, '' =
+    clean) and boolean ``keep_signal``.
+
+    Scale shape: runs AFTER the metadata + transcript gates in a real
+    pipeline so the expensive PCM decode only touches survivors; the flags
+    themselves are codegen'd projections — no Python, no shuffle."""
+    dur_s = F.col(dur_col).cast("double") / 1000.0
+    decoded_s = F.col("n_samples").cast("double") / F.col(sr_col).cast("double")
+    drift = F.abs(decoded_s - dur_s) > (dur_s * MAX_DUR_DRIFT + 1e-3)
+    flags = F.array(
+        F.when(F.col("rms") < MIN_RMS, F.lit("digital_silence")),
+        F.when(F.col("silence_ratio") > MAX_SILENCE_RATIO, F.lit("mostly_silent")),
+        F.when(F.col("clip_ratio") > MAX_CLIP_RATIO, F.lit("clipped")),
+        F.when((F.col(dur_col) > 0) & drift, F.lit("metadata_drift")),
+        F.when(F.col("n_samples") <= 0, F.lit("no_audio")),
+    )
+    flags = F.array_compact(flags)
+    return df.withColumn(
+        "signal_flags", F.concat_ws(",", flags)
+    ).withColumn("keep_signal", F.size(flags) == 0)
 
 
 # --------------------------------------------------------- WAV (RIFF) parse

@@ -153,6 +153,31 @@ def clips_from_documents(spark: SparkSession, sf_dir: str,
     return df
 
 
+def signal_adversarial_clips(spark: SparkSession,
+                             start_id: int = 20_000_000) -> DataFrame:
+    """Deterministic clips whose AUDIO (not transcript) is defective — the
+    fixtures for the signal-level gate (functions/audio.py
+    audio_signal_flags): digital silence, a full-scale clipped square wave,
+    and metadata whose dur_ms disagrees with the decoded sample count."""
+    sr = 16000
+    n = sr  # 1 s
+    t = np.arange(n, dtype=np.float64) / sr
+    tone = np.clip(np.rint(0.3 * np.sin(2 * np.pi * 440.0 * t) * 32768.0),
+                   -32768, 32767).astype("<i2").tobytes()
+    silence = np.zeros(n, dtype="<i2").tobytes()
+    square = np.where(np.sin(2 * np.pi * 440.0 * t) >= 0, 32767, -32768).astype(
+        "<i2").tobytes()
+    rows = [
+        (f"clip-{start_id + 0:012d}", silence, sr, 1000, "pcm_s16le",
+         "a clip whose audio is pure digital silence"),
+        (f"clip-{start_id + 1:012d}", square, sr, 1000, "pcm_s16le",
+         "a clip whose audio is a clipped full scale square wave"),
+        (f"clip-{start_id + 2:012d}", tone, sr, 2000, "pcm_s16le",
+         "a clip whose duration metadata drifted from its sample count"),
+    ]
+    return spark.createDataFrame(rows, schema=CLIPS_SCHEMA)
+
+
 def golden_clips(spark: SparkSession, start_id: int = 0) -> DataFrame:
     """Small driver-side DataFrame of the golden + adversarial corpus."""
     rows = []

@@ -142,6 +142,46 @@ def test_pcm_roundtrip():
     assert encode_pcm_s16le(w2) == raw  # fixpoint after first quantization
 
 
+def test_audio_signal_flags(spark):
+    """Silence / clipping / drift fixtures each trip exactly their flag;
+    a normal tone stays clean (keep_signal)."""
+    from heliport_spark.functions.audio import (
+        audio_features_df,
+        audio_signal_flags,
+        encode_pcm_s16le,
+    )
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr  # 1 s
+    tone = encode_pcm_s16le((0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32))
+    silence = encode_pcm_s16le(np.zeros(sr, dtype=np.float32))
+    square = encode_pcm_s16le(
+        np.where(np.sin(2 * np.pi * 440 * t) >= 0, 1.0, -1.0).astype(np.float32)
+    )
+    # metadata says 2 s but audio is 1 s
+    rows = [
+        ("clean", tone, sr, 1000),
+        ("silent", silence, sr, 1000),
+        ("clipped", square, sr, 1000),
+        ("drift", tone, sr, 2000),
+        ("empty", b"", sr, 1000),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, sr_hz int, dur_ms int")
+    out = {
+        r["clip_id"]: r
+        for r in audio_signal_flags(audio_features_df(df)).collect()
+    }
+    assert out["clean"]["keep_signal"] and out["clean"]["signal_flags"] == ""
+    assert "digital_silence" in out["silent"]["signal_flags"]
+    assert "mostly_silent" in out["silent"]["signal_flags"]
+    assert out["silent"]["silence_ratio"] == 1.0
+    assert out["clipped"]["signal_flags"] == "clipped"
+    assert out["clipped"]["clip_ratio"] > 0.9
+    assert out["drift"]["signal_flags"] == "metadata_drift"
+    assert "no_audio" in out["empty"]["signal_flags"]
+    assert all(not out[k]["keep_signal"] for k in ("silent", "clipped", "drift", "empty"))
+
+
 def test_multimodal_stubs():
     with pytest.raises(NotImplementedError):
         decode_compressed_audio(b"\x00", "opus")
