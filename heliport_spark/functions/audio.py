@@ -71,12 +71,18 @@ SILENCE_RMS = 0.01
 
 
 def audio_features_df(df: DataFrame, bytes_col: str = "bytes",
-                      sr_col: str = "sr_hz") -> DataFrame:
+                      sr_col: str = "sr_hz",
+                      gate_col: "str | None" = None) -> DataFrame:
     """Append cheap waveform statistics (rms, peak, n_samples, clip_ratio,
     silence_ratio) computed from the PCM column via Arrow batches. The bytes
     column passes through untouched. ``silence_ratio`` is the fraction of
     20 ms frames whose RMS falls below ``SILENCE_RMS`` — the VAD-lite input
-    to the signal keep/drop gate (audio_signal_flags)."""
+    to the signal keep/drop gate (audio_signal_flags).
+
+    ``gate_col`` (boolean): rows where it is false skip the decode entirely
+    (stats stay at their zero/silent defaults) — lets the pipeline decode
+    only rows that survived the cheap transcript gate, in ONE pass with no
+    split/union re-read."""
     out_schema = StructType(
         list(df.schema.fields)
         + [
@@ -97,7 +103,10 @@ def audio_features_df(df: DataFrame, bytes_col: str = "bytes",
             clip = np.zeros(n, dtype=np.float32)
             sil = np.ones(n, dtype=np.float32)  # empty/NULL audio = silent
             srs = pdf[sr_col].to_numpy() if sr_col in pdf else None
+            gates = pdf[gate_col].to_numpy() if gate_col else None
             for i, raw in enumerate(pdf[bytes_col]):
+                if gates is not None and not gates[i]:
+                    continue
                 if raw is None or len(raw) == 0:
                     continue
                 w = decode_pcm_s16le(raw)

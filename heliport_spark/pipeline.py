@@ -44,13 +44,20 @@ def quality_filter(
     model_dir: "str | None" = None,
     with_ft: bool = True,
     exact: bool = False,
+    with_signal_gate: bool = False,
 ) -> DataFrame:
     """clips → clips + (lang, confidence, keep, scrubbed_text, quality).
 
     ``quality`` is the diagnostic struct from the north_star:
     struct<heli_score:float, ppl:float, rule_flags:array<string>,
     scrub_spans:int, cjk_pct:float>.
-    """
+
+    ``with_signal_gate=True`` additionally decodes the PCM of rows that
+    SURVIVED the transcript gate and ANDs the signal-level flags
+    (silence/clipping/metadata drift, functions/audio.py) into ``keep`` —
+    ordered so the expensive decode never touches rows already dropped by
+    the cheap Catalyst-side rules. Off by default: the reference's keep
+    decision (the F1 gate) is transcript-only."""
     scored = identify_df(
         df, text_col=text_col, model_dir=model_dir, with_ft=with_ft, exact=exact
     )
@@ -69,6 +76,27 @@ def quality_filter(
         .withColumn("rule_flags", flags)
     )
     out = out.withColumn("keep", keep_expr(F.col("rule_flags")))
+    if with_signal_gate:
+        from .functions.audio import audio_features_df, audio_signal_flags
+
+        # one pass: the decode itself is skipped per-row for clips the
+        # transcript gate already dropped (gate_col), then signal flags are
+        # masked to NULL for those rows so they never claim e.g.
+        # "mostly_silent" about audio that was never decoded
+        gated = audio_signal_flags(audio_features_df(out, gate_col="keep"))
+        out = (
+            gated.withColumn(
+                "signal_flags",
+                F.when(F.col("keep"), F.col("signal_flags")),
+            )
+            .withColumn(
+                "keep_signal", F.when(F.col("keep"), F.col("keep_signal"))
+            )
+            .withColumn(
+                "keep", F.col("keep") & F.coalesce(F.col("keep_signal"), F.lit(True))
+            )
+            .drop("n_samples", "rms", "peak", "clip_ratio", "silence_ratio")
+        )
     out = out.withColumn(
         "quality",
         F.struct(

@@ -57,6 +57,41 @@ def test_output_schema(filtered):
     }
 
 
+def test_signal_gate_opt_in(spark):
+    """with_signal_gate=True: a transcript-clean clip with silent audio is
+    dropped by the signal gate; transcript-dropped rows keep NULL signal
+    flags (their audio is never decoded); default pipeline is unchanged."""
+    from heliport_spark.sources.clips import signal_adversarial_clips
+
+    base = clips_from_documents(spark, SF_TINY, with_golden=False)
+    clips = base.unionByName(signal_adversarial_clips(spark))
+    out = quality_filter(clips, with_signal_gate=True).cache()
+    try:
+        sig = {
+            r["clip_id"]: r
+            for r in out.filter(
+                F.col("clip_id") >= "clip-000020000000"
+            ).select("clip_id", "keep", "signal_flags").collect()
+        }
+        silent = sig["clip-000020000000"]
+        clipped = sig["clip-000020000001"]
+        assert not silent["keep"] and "mostly_silent" in silent["signal_flags"]
+        assert not clipped["keep"] and clipped["signal_flags"] == "clipped"
+        # transcript-dropped rows: signal flags stay NULL (never decoded);
+        # their count equals the plain pipeline's drop count (advisory
+        # flags like ft_disagree don't drop, so don't count rule_flags>0)
+        plain = quality_filter(clips).select("clip_id", "keep").alias("p")
+        nulls = out.filter(~F.col("keep") & F.col("signal_flags").isNull())
+        assert nulls.count() == plain.filter(~F.col("keep")).count()
+        # gate only ever drops more, never resurrects
+        joined = plain.join(out.alias("g"), "clip_id").filter(
+            F.col("g.keep") & ~F.col("p.keep")
+        )
+        assert joined.count() == 0
+    finally:
+        out.unpersist()
+
+
 def test_f1_vs_reference_labels(spark, filtered, exact_scorer):
     rows = filtered.select("clip_id", "transcript", "lang", "keep").collect()
     texts = [r["transcript"] or "" for r in rows]
