@@ -559,6 +559,41 @@ def _quota_sample(spark, sf):
     return quota_sample(_t(spark, sf, "documents"), k=5)
 
 
+def _temperature_resample(spark, sf):
+    """XLM-R/mC4-style temperature resampling of the skewed per-language
+    corpus (quota ∝ n^0.5, exact-integer normalization, hash-ranked fill —
+    no RNG, reproducible on any engine/partitioning)."""
+    from heliport_spark.operators.corpus import temperature_resample
+
+    return temperature_resample(_t(spark, sf, "documents"))
+
+
+def _temperature_resample_sql() -> str:
+    """DuckDB twin of operators/corpus.py::temperature_resample — generated
+    from the SAME constants (TEMP_TOTAL, TEMP_WEIGHT_SCALE; alpha=0.5 via
+    IEEE sqrt, weights quantized to bigint BEFORE the exact integer
+    normalization so no float-sum ordering can flip a floor)."""
+    from heliport_spark.operators.corpus import TEMP_TOTAL, TEMP_WEIGHT_SCALE
+
+    return f"""
+WITH rows_ AS (SELECT lang AS g, doc_id AS id FROM documents),
+c AS (SELECT g, count(*) AS n FROM rows_ GROUP BY g),
+cw AS (SELECT g, n,
+              CAST(round(sqrt(n::DOUBLE) * {TEMP_WEIGHT_SCALE}) AS BIGINT) AS wq
+       FROM c),
+t AS (SELECT g, least(n::BIGINT,
+                      ({TEMP_TOTAL}::BIGINT * wq) // (SELECT sum(wq) FROM cw)
+                ) AS target
+      FROM cw),
+r AS (SELECT g, id,
+             row_number() OVER (
+               PARTITION BY g
+               ORDER BY ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT, id
+             ) AS rk
+      FROM rows_)
+SELECT r.g AS lang, r.id AS doc_id FROM r JOIN t USING (g) WHERE rk <= target"""
+
+
 def _ann_lsh(spark, sf):
     from heliport_spark.operators.similarity import lsh_ann_topk
 
@@ -611,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _gopher_rules,
         "decontaminate": _decontaminate,
         "quota_sample": _quota_sample,
+        "temperature_resample": _temperature_resample,
         # rows-only (no SQL oracle possible):
         "heli_identify_docs": _heli_identify_docs,
         "heli_topk_docs": _heli_topk_docs,
@@ -993,6 +1029,7 @@ WITH r AS (
   FROM documents
 )
 SELECT source, doc_id FROM r WHERE rk <= 5""",
+        "temperature_resample": _temperature_resample_sql(),
         "embedding_neardup": """
 WITH px AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    unnest(a.embedding)::DOUBLE AS ae,

@@ -159,6 +159,59 @@ def quota_sample(df: DataFrame, k: int = 5, id_col: str = "doc_id",
     )
 
 
+# Temperature resampling (multilingual data mixing, XLM-R/mC4 style):
+# group g gets quota ∝ n_g^alpha. Weights are quantized to bigints
+# (round(sqrt(n)·1e6)) BEFORE the cross-group sum so the normalization and
+# division are exact integer arithmetic — float summation order can differ
+# between engines/partitionings and a last-ulp drift would flip a floor().
+TEMP_TOTAL = 200
+TEMP_WEIGHT_SCALE = 1_000_000
+
+
+def temperature_resample(df: DataFrame, total: int = TEMP_TOTAL,
+                         alpha: float = 0.5, id_col: str = "doc_id",
+                         group_col: str = "lang") -> DataFrame:
+    """Deterministic temperature-based resampling of a grouped corpus: the
+    per-group quota is ``min(n_g, ⌊total · w_g / Σw⌋)`` with weight
+    ``w_g = round(n_g^alpha · 1e6)`` (bigint), and the quota is filled by
+    the rows with the smallest portable md5 hash of their id (the same
+    rank as quota_sample) — reproducible on any engine/run/partitioning,
+    no RNG. ``alpha < 1`` flattens skewed language distributions (the
+    standard multilingual-LLM mixing step; alpha=0.5 uses IEEE ``sqrt`` so
+    the Spark and DuckDB weights agree bit-for-bit).
+
+    Scale shape: one tiny counts aggregate (broadcast by AQE into the
+    quota join) + the one window shuffle the rank needs — same cost as
+    quota_sample."""
+    from pyspark.sql import Window
+
+    from .dedup import h60
+
+    rows = df.select(F.col(group_col).alias("g"), F.col(id_col).alias("id"))
+    nd = F.col("n").cast("double")
+    wcol = F.sqrt(nd) if alpha == 0.5 else F.pow(nd, F.lit(alpha))
+    counts = rows.groupBy("g").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "wq", F.round(wcol * TEMP_WEIGHT_SCALE).cast("bigint")
+    )
+    tot = counts.agg(F.sum("wq").alias("s"))
+    targets = counts.crossJoin(tot).select(
+        "g",
+        F.least(
+            F.col("n").cast("bigint"),
+            F.expr(f"CAST({int(total)} AS BIGINT) * wq DIV s"),
+        ).alias("target"),
+    )
+    w = Window.partitionBy("g").orderBy(
+        h60(F.col("id").cast("string")).asc(), F.col("id").asc()
+    )
+    ranked = rows.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(targets, "g")
+        .filter(F.col("rk") <= F.col("target"))
+        .select(F.col("g").alias(group_col), F.col("id").alias(id_col))
+    )
+
+
 def corpus_sketches(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     group_cols: "tuple[str, ...]" = ("source",)) -> DataFrame:

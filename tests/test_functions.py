@@ -314,6 +314,30 @@ def test_quota_sample_partitioning_invariant(spark):
     assert a == b and len(a) > 0
 
 
+def test_temperature_resample_flattens_and_is_invariant(spark):
+    """alpha<1 must flatten the skewed language mix (dominant language's
+    share shrinks, rarest grows), quotas never exceed group sizes, and the
+    picked rows are identical under a different physical layout."""
+    from heliport_spark.operators.corpus import temperature_resample
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    before = {r["lang"]: r["n"] for r in
+              d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = temperature_resample(d, total=200)
+    after = {r["lang"]: r["n"] for r in
+             out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_tot, a_tot = sum(before.values()), sum(after.values())
+    assert a_tot <= 200
+    top = max(before, key=before.get)
+    rare = min(before, key=before.get)
+    assert after[top] / a_tot < before[top] / n_tot        # flattened
+    assert after[rare] / a_tot > before[rare] / n_tot
+    assert all(after[g] <= before[g] for g in after)       # never upsamples
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, temperature_resample(d.repartition(13), total=200).collect()))
+    assert a == b
+
+
 def test_decontaminate_never_forces_broadcast(spark):
     """The benchmark gram set scales with the benchmark corpus; nothing may
     FORCE a broadcast (same rule as the dedup/ANN verify paths)."""
