@@ -485,6 +485,27 @@ def _audio_signal_rules(spark, sf):
     )
 
 
+def _audio_loudness(spark, sf):
+    """Loudness normalization (gain to target RMS, capped, clip-free) —
+    rows-only; verifies the engine can rewrite the audio payload into a new
+    column while the source bytes pass through untouched."""
+    from heliport_spark.functions.audio import audio_features_df, normalize_loudness_df
+    from heliport_spark.sources.clips import clips_from_documents
+
+    clips = clips_from_documents(spark, sf, with_golden=False, max_pcm_ms=500)
+    norm = normalize_loudness_df(clips)
+    # re-measure the stats on the NORMALIZED bytes
+    stats = audio_features_df(
+        norm.drop("bytes").withColumnRenamed("bytes_norm", "bytes")
+    )
+    return stats.groupBy("sr_hz").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg("rms"), 4).alias("avg_rms_after"),
+        F.round(F.avg("gain_db"), 2).alias("avg_gain_db"),
+        F.round(F.max("clip_ratio"), 4).alias("max_clip_ratio"),
+    )
+
+
 def _audio_mel(spark, sf):
     """REAL log-mel feature extraction (numpy STFT + Slaney filterbank) over
     the PCM column — rows-only (FFT is not ANSI-SQL-expressible)."""
@@ -654,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _audio_features,
         "audio_mel": _audio_mel,
         "audio_signal_rules": _audio_signal_rules,
+        "audio_loudness": _audio_loudness,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
         "corpus_sketches": _corpus_sketches,

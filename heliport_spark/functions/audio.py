@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     StructField,
@@ -131,6 +132,51 @@ def audio_features_df(df: DataFrame, bytes_col: str = "bytes",
             pdf["peak"] = peak
             pdf["clip_ratio"] = clip
             pdf["silence_ratio"] = sil
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+# Loudness normalization: target RMS on the [-1,1) float scale and the gain
+# cap that keeps near-silence from being amplified into noise.
+TARGET_RMS = 0.1
+MAX_GAIN = 20.0
+
+
+def normalize_loudness_df(df: DataFrame, bytes_col: str = "bytes",
+                          out_col: str = "bytes_norm",
+                          target_rms: float = TARGET_RMS,
+                          max_gain: float = MAX_GAIN) -> DataFrame:
+    """Gain-normalize each clip's PCM to ``target_rms`` (standard pre-ASR
+    conditioning): decode → scale by ``min(max_gain, target/rms)`` → clip to
+    [-1, 1) → re-encode into a NEW column. The original ``bytes`` column is
+    untouched (the pipeline's passthrough invariant stays intact); the
+    applied ``gain_db`` is emitted per clip. Arrow-batched mapInPandas, one
+    pass, no shuffle."""
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("gain_db", FloatType()),
+            StructField(out_col, BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            gains = np.zeros(len(pdf), dtype=np.float32)
+            outs: "list[bytes | None]" = []
+            for i, raw in enumerate(pdf[bytes_col]):
+                if raw is None or len(raw) == 0:
+                    outs.append(raw)
+                    continue
+                w = decode_pcm_s16le(raw)
+                rms = float(np.sqrt(np.mean(w.astype(np.float64) ** 2)))
+                g = min(max_gain, target_rms / rms) if rms > 0 else 1.0
+                gains[i] = 20.0 * np.log10(g) if g > 0 else 0.0
+                outs.append(encode_pcm_s16le(np.clip(w * g, -1.0, 1.0 - 1.0 / 32768)))
+            pdf = pdf.copy(deep=False)
+            pdf["gain_db"] = gains
+            pdf[out_col] = outs
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

@@ -182,6 +182,46 @@ def test_audio_signal_flags(spark):
     assert all(not out[k]["keep_signal"] for k in ("silent", "clipped", "drift", "empty"))
 
 
+def test_normalize_loudness(spark):
+    """Quiet tone is brought to target RMS, loud audio is attenuated (never
+    clipped harder), silence stays silent (gain capped), and the original
+    bytes column is untouched."""
+    from heliport_spark.functions.audio import (
+        MAX_GAIN,
+        TARGET_RMS,
+        decode_pcm_s16le,
+        encode_pcm_s16le,
+        normalize_loudness_df,
+    )
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    quiet = encode_pcm_s16le((0.01 * np.sin(2 * np.pi * 440 * t)).astype(np.float32))
+    loud = encode_pcm_s16le((0.9 * np.sin(2 * np.pi * 440 * t)).astype(np.float32))
+    silence = encode_pcm_s16le(np.zeros(sr, dtype=np.float32))
+    df = spark.createDataFrame(
+        [("quiet", quiet, sr), ("loud", loud, sr), ("silent", silence, sr)],
+        "clip_id string, bytes binary, sr_hz int",
+    )
+    out = {r["clip_id"]: r for r in normalize_loudness_df(df).collect()}
+
+    def rms(raw):
+        w = decode_pcm_s16le(raw)
+        return float(np.sqrt(np.mean(w.astype(np.float64) ** 2)))
+
+    assert abs(rms(out["quiet"]["bytes_norm"]) - TARGET_RMS) < 0.002
+    assert abs(rms(out["loud"]["bytes_norm"]) - TARGET_RMS) < 0.002
+    assert out["loud"]["gain_db"] < 0 < out["quiet"]["gain_db"]
+    assert rms(out["silent"]["bytes_norm"]) == 0.0
+    assert bytes(out["quiet"]["bytes"]) == quiet  # original untouched
+    # gain cap: a clip 1000x below target gets MAX_GAIN, not target/rms
+    tiny = encode_pcm_s16le((1e-4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32))
+    df2 = spark.createDataFrame([("tiny", tiny, sr)],
+                                "clip_id string, bytes binary, sr_hz int")
+    r2 = normalize_loudness_df(df2).collect()[0]
+    assert r2["gain_db"] <= 20.0 * np.log10(MAX_GAIN) + 1e-3
+
+
 def test_multimodal_stubs():
     with pytest.raises(NotImplementedError):
         decode_compressed_audio(b"\x00", "opus")
