@@ -485,6 +485,23 @@ def _audio_signal_rules(spark, sf):
     )
 
 
+def _audio_chunks(spark, sf):
+    """Fixed-window audio segmentation (ASR long-audio prep) — rows-only;
+    verifies the per-row fan-out shape (one Arrow pass, no shuffle) and
+    that chunk metadata stays consistent with the sliced bytes."""
+    from heliport_spark.functions.audio import chunk_audio_df
+    from heliport_spark.sources.clips import clips_from_documents
+
+    clips = clips_from_documents(spark, sf, with_golden=False, max_pcm_ms=500)
+    chunks = chunk_audio_df(clips, window_ms=200, min_tail_ms=50)
+    return chunks.groupBy("sr_hz").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("clip_id").alias("n_clips"),
+        F.sum(F.length("bytes")).alias("total_bytes"),
+        F.round(F.avg("dur_ms"), 2).alias("avg_chunk_ms"),
+    )
+
+
 def _audio_loudness(spark, sf):
     """Loudness normalization (gain to target RMS, capped, clip-free) —
     rows-only; verifies the engine can rewrite the audio payload into a new
@@ -676,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mel": _audio_mel,
         "audio_signal_rules": _audio_signal_rules,
         "audio_loudness": _audio_loudness,
+        "audio_chunks": _audio_chunks,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
         "corpus_sketches": _corpus_sketches,

@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     BinaryType,
     FloatType,
     IntegerType,
+    StringType,
     StructField,
     StructType,
 )
@@ -178,6 +179,74 @@ def normalize_loudness_df(df: DataFrame, bytes_col: str = "bytes",
             pdf["gain_db"] = gains
             pdf[out_col] = outs
             yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def chunk_audio_df(df: DataFrame, window_ms: int = 30_000,
+                   min_tail_ms: int = 1_000,
+                   bytes_col: str = "bytes", sr_col: str = "sr_hz",
+                   id_col: str = "clip_id") -> DataFrame:
+    """Segment each clip's PCM into fixed ``window_ms`` windows (the
+    standard long-audio prep for ASR training): emits one row per chunk
+    with (chunk_id, chunk_idx, start_ms, bytes, sr_hz, dur_ms). A final
+    tail shorter than ``min_tail_ms`` is merged into the previous chunk
+    rather than emitted as a sliver.
+
+    Transcripts CANNOT be split without word-level alignment, which the
+    input schema doesn't carry — so chunks keep no transcript column;
+    callers needing aligned text must join alignment data themselves (the
+    honest contract, same policy as the stubbed lossy codecs).
+
+    Scale shape: pure per-row fan-out inside one Arrow pass (byte slicing
+    on sample boundaries, no decode needed beyond arithmetic) — no shuffle;
+    downstream ops re-partition on chunk_id as usual."""
+    out_schema = StructType(
+        [
+            StructField("chunk_id", StringType(), False),
+            StructField(id_col, StringType()),
+            StructField("chunk_idx", IntegerType()),
+            StructField("start_ms", IntegerType()),
+            StructField(sr_col, IntegerType()),
+            StructField("dur_ms", IntegerType()),
+            StructField("bytes", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, raw, sr in zip(pdf[id_col], pdf[bytes_col], pdf[sr_col]):
+                if raw is None or len(raw) < 2 or not sr:
+                    continue
+                n = len(raw) // 2
+                win = max(1, int(sr) * window_ms // 1000)
+                min_tail = int(sr) * min_tail_ms // 1000
+                starts = list(range(0, n, win))
+                # merge a too-short tail into the previous chunk
+                if len(starts) > 1 and n - starts[-1] < min_tail:
+                    starts.pop()
+                for idx, s0 in enumerate(starts):
+                    e0 = starts[idx + 1] if idx + 1 < len(starts) else n
+                    chunk = raw[2 * s0 : 2 * e0]
+                    rows.append(
+                        (
+                            f"{cid}#{idx:04d}",
+                            cid,
+                            idx,
+                            s0 * 1000 // int(sr),
+                            int(sr),
+                            (e0 - s0) * 1000 // int(sr),
+                            chunk,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "chunk_id", id_col, "chunk_idx", "start_ms",
+                    sr_col, "dur_ms", "bytes",
+                ],
+            )
 
     return df.mapInPandas(run, schema=out_schema)
 

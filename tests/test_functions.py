@@ -222,6 +222,34 @@ def test_normalize_loudness(spark):
     assert r2["gain_db"] <= 20.0 * np.log10(MAX_GAIN) + 1e-3
 
 
+def test_chunk_audio(spark):
+    """Chunks reconcatenate to the exact original bytes, windows are
+    window_ms long (except the last), and a sub-min_tail sliver is merged
+    into the previous chunk instead of emitted."""
+    from heliport_spark.functions.audio import chunk_audio_df, encode_pcm_s16le
+
+    sr = 16000
+    # 2.5 s clip, 1 s windows -> chunks of 1 s, 1 s, 0.5 s (tail >= min_tail)
+    w = (0.3 * np.sin(2 * np.pi * 440 * np.arange(int(2.5 * sr)) / sr)).astype(
+        np.float32
+    )
+    raw = encode_pcm_s16le(w)
+    # 2.05 s clip -> 50 ms tail < min_tail 100 ms: merged, chunks 1 s + 1.05 s
+    raw2 = encode_pcm_s16le(w[: int(2.05 * sr)])
+    df = spark.createDataFrame(
+        [("a", raw, sr), ("b", raw2, sr)], "clip_id string, bytes binary, sr_hz int"
+    )
+    out = chunk_audio_df(df, window_ms=1000, min_tail_ms=100).collect()
+    a = sorted((r for r in out if r["clip_id"] == "a"), key=lambda r: r["chunk_idx"])
+    b = sorted((r for r in out if r["clip_id"] == "b"), key=lambda r: r["chunk_idx"])
+    assert [r["dur_ms"] for r in a] == [1000, 1000, 500]
+    assert [r["start_ms"] for r in a] == [0, 1000, 2000]
+    assert b"".join(bytes(r["bytes"]) for r in a) == raw
+    assert [r["dur_ms"] for r in b] == [1000, 1050]
+    assert b"".join(bytes(r["bytes"]) for r in b) == raw2
+    assert a[0]["chunk_id"] == "a#0000"
+
+
 def test_multimodal_stubs():
     with pytest.raises(NotImplementedError):
         decode_compressed_audio(b"\x00", "opus")
