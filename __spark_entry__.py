@@ -293,6 +293,15 @@ def _simhash(spark, sf):
     return simhash(_docs_repart(spark, sf))
 
 
+def _dedup_clusters(spark, sf):
+    """Connected components over the (oracle-exact) simhash near-dup pairs:
+    (id, cluster_id=min id in component, is_canonical) — the step that turns
+    candidate pairs into an actual dedup decision."""
+    from heliport_spark.operators.dedup import dup_clusters, simhash_pairs
+
+    return dup_clusters(simhash_pairs(_docs_repart(spark, sf)))
+
+
 def _simhash_pairs(spark, sf):
     """Near-dup pairs at Hamming ≤ bands−1 — exact (pigeonhole), so fully
     oracle-checked unlike the recall<1 ANN paths."""
@@ -676,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,
+        "dedup_clusters": _dedup_clusters,
         "ann_bruteforce": _ann_bruteforce,
         "embedding_neardup": _embedding_neardup,
         "boilerplate_spans": _boilerplate_spans,
@@ -982,6 +992,31 @@ cand AS (
 )
 SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {_sh_bands - 1}""",
+        # dedup_clusters: min-reachable-label connected components over the
+        # simhash near-dup pairs — recursive CTE twin of
+        # dedup.py::dup_clusters (label = min id in component)
+        "dedup_clusters": _simhash_cte.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+        + f""",
+bk AS (
+  SELECT id, simhash, g.b AS band,
+         (simhash >> (g.b * {_sh_rows})::INT) & {_sh_mask} AS key
+  FROM sig, generate_series(0, {_sh_bands - 1}) AS g(b)
+),
+p AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_sh_bands - 1}
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p),
+walk(id, lab) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, w.lab FROM walk w JOIN e ON e.src = w.id
+)
+SELECT id, min(lab) AS cluster_id,
+       (id = min(lab))::INT AS is_canonical
+FROM walk GROUP BY id""",
         "ann_bruteforce": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id < 10),

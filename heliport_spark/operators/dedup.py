@@ -349,6 +349,60 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iters: int = 25) -> DataFrame:
+    """Connected components over near-duplicate PAIRS → one row per node:
+    (id, cluster_id = min id in its component, is_canonical ∈ {0,1}).
+    The missing last step of every dedup path: candidate pairs (MinHash /
+    SimHash / Jaccard verify) become clusters, and dedup keeps exactly the
+    canonical row per cluster.
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbours, so labels spread one hop per
+    round and the loop converges in ≤ diameter rounds (near-dup components
+    are short chains in practice). Each round is one equi-join + one
+    map-side-combinable min aggregate — fully distributed; the driver only
+    orchestrates and checks a scalar convergence count. ``localCheckpoint``
+    cuts lineage growth per round. (At extreme diameters, large-star/
+    small-star [Kiveris et al. 2014] gives O(log n) rounds with the same
+    per-round shape — not needed for near-dup graphs.)
+
+    Oracle-portable: min-reachable-label is a recursive CTE in DuckDB."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "lab")
+        new_labels = (
+            labels.union(prop).groupBy("id").agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "id",
+        F.col("lab").alias("cluster_id"),
+        (F.col("id") == F.col("lab")).cast("int").alias("is_canonical"),
+    )
+
+
 def simhash_sql_cte(bits: int = SIMHASH_BITS) -> str:
     """DuckDB CTE computing the identical per-doc signature (shared constants
     generate both engines' queries — CLAUDE.md oracle discipline)."""

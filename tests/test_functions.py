@@ -382,6 +382,28 @@ def test_quota_sample_partitioning_invariant(spark):
     assert a == b and len(a) > 0
 
 
+def test_dup_clusters_components(spark):
+    """Chains and cycles collapse to min-id components; exactly one
+    canonical per cluster; partitioning-invariant."""
+    from heliport_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),          # 5-chain (diameter test)
+         (10, 11),                                 # simple pair
+         (20, 21), (21, 22), (22, 20)],            # triangle
+        "id_a bigint, id_b bigint",
+    )
+    got = {r["id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dup_clusters(pairs).collect()}
+    assert {i: got[i][0] for i in got} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20
+    }
+    assert sorted(i for i, (_, c) in got.items() if c) == [1, 10, 20]
+    b = {r["id"]: r["cluster_id"]
+         for r in dup_clusters(pairs.repartition(7)).collect()}
+    assert b == {i: got[i][0] for i in got}
+
+
 def test_temperature_resample_flattens_and_is_invariant(spark):
     """alpha<1 must flatten the skewed language mix (dominant language's
     share shrinks, rarest grows), quotas never exceed group sizes, and the
