@@ -302,6 +302,19 @@ def _dedup_clusters(spark, sf):
     return dup_clusters(simhash_pairs(_docs_repart(spark, sf)))
 
 
+def _dedup_materialize(spark, sf):
+    """End-to-end dedup as a user runs it: near-dup pairs → clusters →
+    anti-join the non-canonical members out of the corpus. Output is the
+    surviving (doc_id, lang, source) rows."""
+    from heliport_spark.operators.dedup import dup_clusters, simhash_pairs
+
+    d = _docs_repart(spark, sf)
+    losers = dup_clusters(simhash_pairs(d)).filter(
+        F.col("is_canonical") == 0
+    ).select(F.col("id").alias("doc_id"))
+    return d.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
 def _simhash_pairs(spark, sf):
     """Near-dup pairs at Hamming ≤ bands−1 — exact (pigeonhole), so fully
     oracle-checked unlike the recall<1 ANN paths."""
@@ -686,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,
         "dedup_clusters": _dedup_clusters,
+        "dedup_materialize": _dedup_materialize,
         "ann_bruteforce": _ann_bruteforce,
         "embedding_neardup": _embedding_neardup,
         "boilerplate_spans": _boilerplate_spans,
@@ -1017,6 +1031,30 @@ walk(id, lab) AS (
 SELECT id, min(lab) AS cluster_id,
        (id = min(lab))::INT AS is_canonical
 FROM walk GROUP BY id""",
+        "dedup_materialize": _simhash_cte.replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1
+        )
+        + f""",
+bk AS (
+  SELECT id, simhash, g.b AS band,
+         (simhash >> (g.b * {_sh_rows})::INT) & {_sh_mask} AS key
+  FROM sig, generate_series(0, {_sh_bands - 1}) AS g(b)
+),
+p AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_sh_bands - 1}
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p),
+walk(id, lab) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, w.lab FROM walk w JOIN e ON e.src = w.id
+),
+losers AS (SELECT id FROM walk GROUP BY id HAVING id <> min(lab))
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT id FROM losers)""",
         "ann_bruteforce": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id < 10),
