@@ -373,6 +373,10 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     ).union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).distinct()
+    # materialize the edge list ONCE: every propagation round joins it, and
+    # without the cut each round would re-run the whole upstream candidate
+    # generation (LSH banding etc.) through the lazy lineage
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
