@@ -201,6 +201,7 @@ def cmd_pipeline(args) -> int:
     counters = run_pipeline(
         spark, clips, args.output, n_buckets=args.buckets,
         model_dir=args.model_dir, resume=not args.no_resume,
+        with_signal_gate=args.signal_gate,
     )
     print(counters)
     return 0
@@ -254,6 +255,10 @@ def main(argv=None) -> int:
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--model-dir", default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--signal-gate", action="store_true",
+                   help="also decode PCM of transcript-gate survivors and "
+                        "AND silence/clipping/drift flags into keep "
+                        "(functions/audio.py)")
     p.set_defaults(fn=cmd_pipeline)
 
     args = ap.parse_args(argv)

@@ -122,6 +122,7 @@ def run_pipeline(
     with_ft: bool = True,
     resume: bool = True,
     fail_after_buckets: "int | None" = None,
+    with_signal_gate: bool = False,
 ) -> dict:
     """Bucketed checkpoint/resume driver loop (D9).
 
@@ -143,7 +144,10 @@ def run_pipeline(
             continue
         obs = Observation(f"bucket-{b}")
         part = withb.filter(F.col("_bucket") == b).drop("_bucket")
-        result = quality_filter(part, model_dir=model_dir, with_ft=with_ft)
+        result = quality_filter(
+            part, model_dir=model_dir, with_ft=with_ft,
+            with_signal_gate=with_signal_gate,
+        )
         result = result.observe(
             obs,
             F.count(F.lit(1)).alias("clips_seen"),
