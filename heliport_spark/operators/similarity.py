@@ -212,6 +212,42 @@ def _ivf_fit_sample(feats: DataFrame, total_rows: int,
     return feats.sample(False, sample_max / total_rows, seed=seed)
 
 
+def _unit_expr(v):
+    """L2-normalize an array column: k-means cells are euclidean, the final
+    ranking is cosine — on the unit sphere the two orders agree, so cells
+    align with cosine neighborhoods (measured +0.2 recall at n_probe=4).
+    Zero-norm vectors fall back to the raw zeros (NULL features would fail
+    KMeans.fit on any corpus containing an all-zero embedding)."""
+    nrm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x)
+    )
+    return F.transform(
+        v,
+        lambda x: F.coalesce(
+            x.cast("double") / F.nullif(nrm, F.lit(0.0)), F.lit(0.0)
+        ),
+    )
+
+
+def fit_ivf_quantizer(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    fit_sample_max: int = IVF_FIT_SAMPLE_MAX,
+):
+    """Fit the IVF coarse quantizer ONCE (bounded-sample k-means, identical
+    to what ivf_ann_topk fits internally) and return the KMeansModel for
+    reuse across query batches via ``ivf_ann_topk(..., quantizer=model)`` —
+    the fit-offline/serve-many pattern a 100 TB deployment uses."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(_unit_expr(F.col(vec_col))).alias("features"))
+    fit_df = _ivf_fit_sample(feats, df.count(), fit_sample_max, seed)
+    return KMeans(k=n_centroids, seed=seed, maxIter=20).fit(fit_df)
+
+
 def ivf_ann_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -222,6 +258,7 @@ def ivf_ann_topk(
     n_probe: int = 2,
     seed: int = 42,
     fit_sample_max: int = IVF_FIT_SAMPLE_MAX,
+    quantizer=None,
 ) -> DataFrame:
     """IVF-style ANN (the second scale path next to sign-LSH): a k-means
     coarse quantizer (pyspark.ml, seeded) partitions the corpus into
@@ -236,36 +273,29 @@ def ivf_ann_topk(
     crossJoin, and never a forced query-side broadcast (AQE decides from
     runtime sizes). Recall < 1 by construction (rows-only in the driver
     contract, like ann_lsh); the recall-vs-brute-force floor is pinned in
-    tests."""
+    tests.
+
+    ``quantizer``: a prefit ``pyspark.ml.clustering.KMeansModel`` — at real
+    scale the quantizer is fit ONCE (or offline) and reused across every
+    query batch; pass it here to skip the fit (and the corpus count) on
+    repeat calls. Fit one with ``fit_ivf_quantizer``."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    # L2-normalize for the quantizer: k-means cells are euclidean, the final
-    # ranking is cosine — on the unit sphere the two orders agree, so cells
-    # align with cosine neighborhoods (measured +0.2 recall at n_probe=4).
-    # Zero-norm vectors fall back to the raw zeros (NULL features would fail
-    # KMeans.fit on any corpus containing an all-zero embedding).
-    def unit(v):
-        nrm = F.sqrt(
-            F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x)
-        )
-        return F.transform(
-            v,
-            lambda x: F.coalesce(
-                x.cast("double") / F.nullif(nrm, F.lit(0.0)), F.lit(0.0)
-            ),
-        )
-
+    unit = _unit_expr
     feats = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         array_to_vector(unit(F.col(vec_col))).alias("features"),
     )
-    km = KMeans(k=n_centroids, seed=seed, maxIter=20)
-    fit_df = _ivf_fit_sample(
-        feats.select("features"), df.count(), fit_sample_max, seed
-    )
-    model = km.fit(fit_df)
+    if quantizer is not None:
+        model = quantizer
+    else:
+        km = KMeans(k=n_centroids, seed=seed, maxIter=20)
+        fit_df = _ivf_fit_sample(
+            feats.select("features"), df.count(), fit_sample_max, seed
+        )
+        model = km.fit(fit_df)
     corpus = model.transform(feats).select(
         "neighbor_id", "cvec", F.col("prediction").alias("centroid")
     )

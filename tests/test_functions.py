@@ -495,6 +495,20 @@ def test_ivf_fit_sample_bounded(spark):
     assert _ivf_fit_sample(e, total, total + 1, seed=42) is e
 
 
+def test_ivf_prefit_quantizer_identical(spark):
+    """ivf_ann_topk(..., quantizer=prefit) must return exactly what the
+    internal fit returns (same seed/sample → same centroids) — the
+    fit-once/serve-many path at scale."""
+    from heliport_spark.operators.similarity import fit_ivf_quantizer, ivf_ann_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.limit(5)
+    a = sorted(map(tuple, ivf_ann_topk(e, q, k=3).collect()))
+    m = fit_ivf_quantizer(e)
+    b = sorted(map(tuple, ivf_ann_topk(e, q, k=3, quantizer=m).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_ivf_survives_zero_norm_embedding(spark):
     """An all-zero embedding must not crash KMeans.fit (the L2-normalize
     used to emit NULL features via nullif; ADVICE r02): the quantizer falls
