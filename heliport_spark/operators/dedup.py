@@ -350,7 +350,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 
 
 def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                 max_iters: int = 25) -> DataFrame:
+                 max_iters: int = 50) -> DataFrame:
     """Connected components over near-duplicate PAIRS → one row per node:
     (id, cluster_id = min id in its component, is_canonical ∈ {0,1}).
     The missing last step of every dedup path: candidate pairs (MinHash /
@@ -383,6 +383,7 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         .withColumn("lab", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iters):
         prop = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -400,6 +401,15 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # partially-propagated labels are silently WRONG cluster ids — fail
+        # loudly instead (a component with diameter > max_iters means the
+        # pair graph is not near-dup-shaped; raise max_iters or switch to a
+        # large-star/small-star O(log n) scheme)
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing)"
+        )
     return labels.select(
         "id",
         F.col("lab").alias("cluster_id"),
