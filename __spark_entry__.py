@@ -782,6 +782,29 @@ def oracle_sql() -> dict[str, str]:
     _sh_bands = SIMHASH_BANDS
     _sh_rows = SIMHASH_BITS // SIMHASH_BANDS
     _sh_mask = (1 << _sh_rows) - 1
+    # shared CTE chain for the connected-component queries: simhash sig →
+    # banded candidate pairs p → undirected edges e → min-reachable-label
+    # walk (recursive)
+    _sh_component_cte = _simhash_cte.replace(
+        "\nWITH ", "\nWITH RECURSIVE ", 1
+    ) + f""",
+bk AS (
+  SELECT id, simhash, g.b AS band,
+         (simhash >> (g.b * {_sh_rows})::INT) & {_sh_mask} AS key
+  FROM sig, generate_series(0, {_sh_bands - 1}) AS g(b)
+),
+p AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_sh_bands - 1}
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p),
+walk(id, lab) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, w.lab FROM walk w JOIN e ON e.src = w.id
+)"""
 
     from heliport_spark.operators.corpus import (
         GOPHER_MAX_MEAN_WORD_LEN,
@@ -1006,52 +1029,15 @@ cand AS (
 )
 SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {_sh_bands - 1}""",
-        # dedup_clusters: min-reachable-label connected components over the
-        # simhash near-dup pairs — recursive CTE twin of
-        # dedup.py::dup_clusters (label = min id in component)
-        "dedup_clusters": _simhash_cte.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
-        + f""",
-bk AS (
-  SELECT id, simhash, g.b AS band,
-         (simhash >> (g.b * {_sh_rows})::INT) & {_sh_mask} AS key
-  FROM sig, generate_series(0, {_sh_bands - 1}) AS g(b)
-),
-p AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_sh_bands - 1}
-),
-e AS (SELECT id_a AS src, id_b AS dst FROM p
-      UNION SELECT id_b, id_a FROM p),
-walk(id, lab) AS (
-  SELECT src, src FROM e
-  UNION
-  SELECT e.dst, w.lab FROM walk w JOIN e ON e.src = w.id
-)
+        # connected components over the simhash near-dup pairs — recursive
+        # CTE twin of dedup.py::dup_clusters (label = min id in component);
+        # ONE shared graph block generates both cluster queries (CLAUDE.md:
+        # shared constants generate both sides)
+        "dedup_clusters": _sh_component_cte + """
 SELECT id, min(lab) AS cluster_id,
        (id = min(lab))::INT AS is_canonical
 FROM walk GROUP BY id""",
-        "dedup_materialize": _simhash_cte.replace(
-            "\nWITH ", "\nWITH RECURSIVE ", 1
-        )
-        + f""",
-bk AS (
-  SELECT id, simhash, g.b AS band,
-         (simhash >> (g.b * {_sh_rows})::INT) & {_sh_mask} AS key
-  FROM sig, generate_series(0, {_sh_bands - 1}) AS g(b)
-),
-p AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_sh_bands - 1}
-),
-e AS (SELECT id_a AS src, id_b AS dst FROM p
-      UNION SELECT id_b, id_a FROM p),
-walk(id, lab) AS (
-  SELECT src, src FROM e
-  UNION
-  SELECT e.dst, w.lab FROM walk w JOIN e ON e.src = w.id
-),
+        "dedup_materialize": _sh_component_cte + """,
 losers AS (SELECT id FROM walk GROUP BY id HAVING id <> min(lab))
 SELECT doc_id, lang, source FROM documents
 WHERE doc_id NOT IN (SELECT id FROM losers)""",

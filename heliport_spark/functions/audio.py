@@ -117,7 +117,12 @@ def audio_features_df(df: DataFrame, bytes_col: str = "bytes",
                     rms[i] = float(np.sqrt(np.mean(w.astype(np.float64) ** 2)))
                     peak[i] = float(np.max(np.abs(w)))
                     clip[i] = float(np.mean(np.abs(w) >= 32767.0 / 32768.0))
-                    sr = int(srs[i]) if srs is not None and srs[i] else 16000
+                    # NULL sr_hz reaches pandas as NaN (truthy!) — guard it
+                    sr = (
+                        int(srs[i])
+                        if srs is not None and not pd.isna(srs[i]) and srs[i]
+                        else 16000
+                    )
                     frame = max(1, sr * SILENCE_FRAME_MS // 1000)
                     nfr = len(w) // frame
                     if nfr:
@@ -217,7 +222,9 @@ def chunk_audio_df(df: DataFrame, window_ms: int = 30_000,
         for pdf in batches:
             rows = []
             for cid, raw, sr in zip(pdf[id_col], pdf[bytes_col], pdf[sr_col]):
-                if raw is None or len(raw) < 2 or not sr:
+                # NULL sr_hz reaches pandas as NaN, which is truthy — pd.isna
+                # first, or int(sr) below raises inside the Arrow batch
+                if raw is None or len(raw) < 2 or pd.isna(sr) or not sr:
                     continue
                 n = len(raw) // 2
                 win = max(1, int(sr) * window_ms // 1000)

@@ -236,7 +236,8 @@ SIMHASH_BANDS = 4
 # the classic ±1 sum is recovered as 2·cnt_j > n_words (identical result,
 # since Σ(2·bit−1) = 2·cnt − n). 21-bit lanes cap a document at 2^21−1
 # (~2M) words before a lane overflows into its neighbour — far beyond any
-# single transcript/doc; documented bound, asserted nowhere hot.
+# single transcript/doc; guarded with a per-doc raise_error on the word
+# count (evaluated post-aggregate, once per doc — free in the hot path).
 SIMHASH_LANES = 3
 SIMHASH_LANE_BITS = 21
 
@@ -286,6 +287,22 @@ def simhash(df: DataFrame, text_col: str = "text",
         sig = sig + F.when(
             cnt * 2 > F.col("n"), F.lit(1 << j).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
+    # lane-overflow guard: a doc with ≥2^21 words would carry a lane into
+    # its neighbour and yield a silently-wrong signature — fail loudly
+    # instead (evaluated once per doc row, post-aggregate: free)
+    sig = F.when(
+        F.col("n") < F.lit(1 << SIMHASH_LANE_BITS).cast("bigint"), sig
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "simhash SWAR lane overflow: doc %s has %s words "
+                "(max %d); raise SIMHASH_LANE_BITS or pre-chunk the doc",
+                F.col("id").cast("string"),
+                F.col("n").cast("string"),
+                F.lit((1 << SIMHASH_LANE_BITS) - 1),
+            )
+        ).cast("bigint")
+    )
     return sums.select("id", sig.alias("simhash"))
 
 
@@ -398,6 +415,15 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             .filter(F.col("n.lab") != F.col("o.lab"))
             .count()
         )
+        # free the superseded round's checkpoint blocks now instead of
+        # waiting for driver GC + ContextCleaner (otherwise up to max_iters
+        # copies of the label table stay pinned in executor storage);
+        # toRdd() is the checkpointed RDD for a localCheckpoint'd frame —
+        # best-effort, semantics don't depend on it
+        try:
+            labels._jdf.queryExecution().toRdd().unpersist(False)
+        except Exception:
+            pass
         labels = new_labels
         if changed == 0:
             break

@@ -282,11 +282,10 @@ def ivf_ann_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    unit = _unit_expr
     feats = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        array_to_vector(unit(F.col(vec_col))).alias("features"),
+        array_to_vector(_unit_expr(F.col(vec_col))).alias("features"),
     )
     if quantizer is not None:
         model = quantizer
@@ -305,7 +304,7 @@ def ivf_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        unit(F.col(vec_col)).alias("qunit"),
+        _unit_expr(F.col(vec_col)).alias("qunit"),
     ).crossJoin(cent_df)  # n_centroids rows, local — auto-broadcast by size
     d2 = F.aggregate(
         F.zip_with(

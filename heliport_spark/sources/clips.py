@@ -159,14 +159,18 @@ def signal_adversarial_clips(spark: SparkSession,
     fixtures for the signal-level gate (functions/audio.py
     audio_signal_flags): digital silence, a full-scale clipped square wave,
     and metadata whose dur_ms disagrees with the decoded sample count."""
+    from ..functions.audio import encode_pcm_s16le
+
     sr = 16000
     n = sr  # 1 s
     t = np.arange(n, dtype=np.float64) / sr
-    tone = np.clip(np.rint(0.3 * np.sin(2 * np.pi * 440.0 * t) * 32768.0),
-                   -32768, 32767).astype("<i2").tobytes()
-    silence = np.zeros(n, dtype="<i2").tobytes()
-    square = np.where(np.sin(2 * np.pi * 440.0 * t) >= 0, 32767, -32768).astype(
-        "<i2").tobytes()
+    tone = encode_pcm_s16le(
+        (0.3 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    )
+    silence = encode_pcm_s16le(np.zeros(n, dtype=np.float32))
+    square = encode_pcm_s16le(
+        np.where(np.sin(2 * np.pi * 440.0 * t) >= 0, 1.0, -1.0).astype(np.float32)
+    )
     rows = [
         (f"clip-{start_id + 0:012d}", silence, sr, 1000, "pcm_s16le",
          "a clip whose audio is pure digital silence"),

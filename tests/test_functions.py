@@ -182,6 +182,33 @@ def test_audio_signal_flags(spark):
     assert all(not out[k]["keep_signal"] for k in ("silent", "clipped", "drift", "empty"))
 
 
+def test_audio_ops_survive_null_sr(spark):
+    """A NULL sr_hz row (NaN in pandas — truthy!) must not crash the Arrow
+    batch: features fall back to 16 kHz framing, chunking skips the row."""
+    from heliport_spark.functions.audio import (
+        audio_features_df,
+        audio_signal_flags,
+        chunk_audio_df,
+        encode_pcm_s16le,
+    )
+
+    tone = encode_pcm_s16le(
+        (0.3 * np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)).astype(np.float32)
+    )
+    df = spark.createDataFrame(
+        [("nosr", tone, None, 1000), ("ok", tone, 16000, 1000)],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int",
+    )
+    feats = {r["clip_id"]: r for r in audio_features_df(df).collect()}
+    assert feats["nosr"]["n_samples"] == 16000
+    assert feats["nosr"]["silence_ratio"] == 0.0
+    # signal flags also run (drift check divides by sr — NULL sr gives NULL
+    # drift, no crash; row keeps its other flags)
+    audio_signal_flags(audio_features_df(df)).collect()
+    chunks = chunk_audio_df(df, window_ms=500).collect()
+    assert {r["clip_id"] for r in chunks} == {"ok"}
+
+
 def test_normalize_loudness(spark):
     """Quiet tone is brought to target RMS, loud audio is attenuated (never
     clipped harder), silence stays silent (gain capped), and the original
