@@ -293,6 +293,15 @@ def _simhash(spark, sf):
     return simhash(_docs_repart(spark, sf))
 
 
+def _dedup_minhash_estimate(spark, sf):
+    """Broder minhash Jaccard estimate over the LSH candidates — the
+    signature-only verify that never re-touches shingle sets (coarse 1/12
+    granularity; the exact ngram_jaccard_pairs is the precise twin)."""
+    from heliport_spark.operators.dedup import minhash_jaccard_estimate
+
+    return minhash_jaccard_estimate(_docs_repart(spark, sf))
+
+
 def _dedup_clusters(spark, sf):
     """Connected components over the (oracle-exact) simhash near-dup pairs:
     (id, cluster_id=min id in component, is_canonical) — the step that turns
@@ -698,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,
+        "dedup_minhash_estimate": _dedup_minhash_estimate,
         "dedup_clusters": _dedup_clusters,
         "dedup_materialize": _dedup_materialize,
         "ann_bruteforce": _ann_bruteforce,
@@ -779,6 +789,14 @@ def oracle_sql() -> dict[str, str]:
     )
 
     _simhash_cte = simhash_sql_cte()
+    import math as _math
+
+    from heliport_spark.operators.dedup import MINHASH_PARAMS as _MHP
+
+    from heliport_spark.operators.dedup import MERSENNE_P as _MH_P
+
+    _mh_H = len(_MHP)
+    _mh_min_match = _math.ceil(0.5 * _mh_H)
     _sh_bands = SIMHASH_BANDS
     _sh_rows = SIMHASH_BITS // SIMHASH_BANDS
     _sh_mask = (1 << _sh_rows) - 1
@@ -999,6 +1017,31 @@ SELECT doc_id, fp, dup_count FROM g WHERE doc_id = keeper""",
         "dedup_minhash_lsh": _minhash_sql_parts() + """
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id""",
+        # candidates from the cheap affine banding (sig), estimate from
+        # per-function SALTED md5 signatures (smh) — see
+        # dedup.py::_minhash_wide_salted for the min-wise-independence bias
+        # the salt removes
+        "dedup_minhash_estimate": _minhash_sql_parts() + f""",
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+smh AS (
+  SELECT id, g.i AS i,
+         min((('0x' || substr(md5(g.i::VARCHAR || '|' || sh), 1, 15))::BIGINT)
+             % {_MH_P}) AS mh
+  FROM sh, generate_series(0, {_mh_H - 1}) AS g(i)
+  GROUP BY id, g.i
+),
+m AS (
+  SELECT c.id_a, c.id_b, sum((ma.mh = mb.mh)::INT) AS matches
+  FROM cands c
+  JOIN smh ma ON ma.id = c.id_a
+  JOIN smh mb ON mb.id = c.id_b AND mb.i = ma.i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, round(matches::DOUBLE / {_mh_H}, 4) AS est_jaccard
+FROM m WHERE matches >= {_mh_min_match}""",
         "dedup_ngram_jaccard": _minhash_sql_parts() + """,
 cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b

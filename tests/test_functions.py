@@ -409,6 +409,63 @@ def test_quota_sample_partitioning_invariant(spark):
     assert a == b and len(a) > 0
 
 
+def test_text_ops_survive_null_and_empty_text(spark):
+    """NULL and empty text rows must not crash (or poison) the dedup /
+    corpus operators: they contribute no shingles/words and drop out of
+    signature outputs rather than erroring."""
+    from heliport_spark.operators.corpus import gopher_quality
+    from heliport_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_candidates,
+        simhash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "s"), (2, "", "s"), (3, "   ", "s"),
+         (4, "real words here", "s"), (5, "real words here", "s")],
+        "doc_id bigint, text string, source string",
+    )
+    sigs = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    assert 4 in sigs and 5 in sigs and sigs[4] == sigs[5]
+    assert 1 not in sigs and 2 not in sigs  # no words -> no signature row
+    cands = minhash_lsh_candidates(df).collect()
+    assert {(r["id_a"], r["id_b"]) for r in cands} >= {(4, 5)}
+    exact_dedup(df).collect()          # must not raise
+    gopher_quality(df).collect()       # must not raise
+
+
+def test_minhash_estimate_brackets_exact_jaccard(spark):
+    """Broder estimator sanity: identical docs estimate 1.0; on the real
+    corpus every estimate is within 2/H·1.5 of the exact Jaccard for pairs
+    both paths emit (H=12 → granularity 1/12)."""
+    from heliport_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+        ngram_jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, "the same exact text body"), (2, "the same exact text body")],
+        "doc_id bigint, text string",
+    )
+    est = minhash_jaccard_estimate(dup).collect()
+    assert [(r["id_a"], r["id_b"], r["est_jaccard"]) for r in est] == [(1, 2, 1.0)]
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    cands = minhash_lsh_candidates(d)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(d, candidates=cands, threshold=0.0).collect()}
+    errs = []
+    for r in minhash_jaccard_estimate(d, threshold=0.5).collect():
+        key = (r["id_a"], r["id_b"])
+        assert key in exact
+        errs.append(abs(r["est_jaccard"] - exact[key]))
+    # H=12 ⇒ per-pair σ = √(J(1−J)/12) ≈ 0.13: individual pairs can land
+    # 3-4σ out (that's the estimator's documented coarseness), but the MEAN
+    # error over the candidate set must look like one σ, not like bias
+    assert errs and sum(errs) / len(errs) <= 0.17
+
+
 def test_dup_clusters_components(spark):
     """Chains and cycles collapse to min-id components; exactly one
     canonical per cluster; partitioning-invariant."""
