@@ -188,6 +188,21 @@ def normalize_loudness_df(df: DataFrame, bytes_col: str = "bytes",
     return df.mapInPandas(run, schema=out_schema)
 
 
+def chunk_bounds(n_samples: int, win: int, min_tail: int) -> "list[tuple[int, int]]":
+    """Pure chunk-boundary computation (property-tested): [start, end) sample
+    ranges of length ``win`` except the last, which absorbs a tail shorter
+    than ``min_tail``; ranges exactly cover [0, n_samples)."""
+    if n_samples <= 0:
+        return []
+    starts = list(range(0, n_samples, max(1, win)))
+    if len(starts) > 1 and n_samples - starts[-1] < min_tail:
+        starts.pop()
+    return [
+        (s0, starts[i + 1] if i + 1 < len(starts) else n_samples)
+        for i, s0 in enumerate(starts)
+    ]
+
+
 def chunk_audio_df(df: DataFrame, window_ms: int = 30_000,
                    min_tail_ms: int = 1_000,
                    bytes_col: str = "bytes", sr_col: str = "sr_hz",
@@ -229,12 +244,7 @@ def chunk_audio_df(df: DataFrame, window_ms: int = 30_000,
                 n = len(raw) // 2
                 win = max(1, int(sr) * window_ms // 1000)
                 min_tail = int(sr) * min_tail_ms // 1000
-                starts = list(range(0, n, win))
-                # merge a too-short tail into the previous chunk
-                if len(starts) > 1 and n - starts[-1] < min_tail:
-                    starts.pop()
-                for idx, s0 in enumerate(starts):
-                    e0 = starts[idx + 1] if idx + 1 < len(starts) else n
+                for idx, (s0, e0) in enumerate(chunk_bounds(n, win, min_tail)):
                     chunk = raw[2 * s0 : 2 * e0]
                     rows.append(
                         (

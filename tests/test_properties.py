@@ -104,6 +104,31 @@ def test_window_hash_equals_shingle_hash(words):
             assert got.tolist() == want.tolist()
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=-5, max_value=500_000),
+    st.integers(min_value=1, max_value=100_000),
+    st.integers(min_value=0, max_value=50_000),
+)
+def test_chunk_bounds_cover_exactly(n, win, min_tail):
+    from heliport_spark.functions.audio import chunk_bounds
+
+    bounds = chunk_bounds(n, win, min_tail)
+    if n <= 0:
+        assert bounds == []
+        return
+    # exact disjoint cover of [0, n)
+    assert bounds[0][0] == 0 and bounds[-1][1] == n
+    for (a0, a1), (b0, b1) in zip(bounds, bounds[1:]):
+        assert a1 == b0 and a0 < a1
+    # every chunk except the last is exactly win; the last absorbs any
+    # sub-min_tail sliver
+    for s0, e0 in bounds[:-1]:
+        assert e0 - s0 == max(1, win)
+    if len(bounds) > 1:
+        assert bounds[-1][1] - bounds[-1][0] >= min(min_tail, max(1, win))
+
+
 @settings(max_examples=50, deadline=None)
 @given(
     st.lists(
