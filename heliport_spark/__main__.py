@@ -136,7 +136,8 @@ def cmd_compile_model(args) -> int:
         args.src, out_dir, args.langs.split(",") if args.langs else None,
         strict_confidence=not args.not_strict,
     )
-    print(f"compiled model artifact at {out}", file=sys.stderr)
+    if not getattr(args, "quiet", False):
+        print(f"compiled model artifact at {out}", file=sys.stderr)
     return 0
 
 
@@ -188,7 +189,8 @@ def cmd_create_model(args) -> int:
                 for r in rows:
                     fh.write(f"{r['gram']}\t{r['cnt']}\n")
         words.unpersist()
-        print(f"trained '{lang}'", file=sys.stderr)
+        if not getattr(args, "quiet", False):
+            print(f"trained '{lang}'", file=sys.stderr)
     return 0
 
 
@@ -209,6 +211,9 @@ def cmd_pipeline(args) -> int:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="heliport_spark")
+    ap.add_argument("-q", "--quiet", action="store_true",
+                    help="suppress informational messages (reference global "
+                         "-q, src/cli/mod.rs:52-57: info -> error verbosity)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("identify", aliases=["detect"])
@@ -243,7 +248,7 @@ def main(argv=None) -> int:
                         "src/cli/binarize.rs:25-28)")
     p.set_defaults(fn=cmd_compile_model)
 
-    p = sub.add_parser("create-model")
+    p = sub.add_parser("create-model", aliases=["create-models"])
     p.add_argument("output_dir")
     p.add_argument("input_files", nargs="+")
     p.add_argument("-k", "--top-k", type=int, default=10_000)
