@@ -102,6 +102,14 @@ def compile_model(
     out.mkdir(parents=True, exist_ok=True)
 
     lang_list = {l.strip() for l in (src / "languagelist").read_text().splitlines() if l.strip()}
+    if langs is not None:
+        # fail loudly on unknown codes (typos would otherwise produce a
+        # valid-looking but empty artifact that scores pure penalty); the
+        # loader twin validates the same way (model.py T8 path)
+        langs = [l.strip() for l in langs]
+        bad = sorted(set(langs) - set(LANGS))
+        if bad:
+            raise ValueError(f"Language code(s) do not exist: {bad}")
     use_langs: list[str] = []
     for i, lang in enumerate(LANGS):
         if SPECIAL_MASK[i]:
@@ -182,14 +190,10 @@ def compile_model(
 
 
 if __name__ == "__main__":  # pragma: no cover
-    import argparse
+    # delegate to the canonical CLI so the standalone rebuild path
+    # (CLAUDE.md: `python -m heliport_spark.model_compile`) has identical
+    # flags (-s/--not-strict like reference binarize, -f/--force overwrite
+    # guard) instead of drifting
+    from .__main__ import main as _cli_main
 
-    ap = argparse.ArgumentParser(description="compile heliport text models → numpy artifact")
-    ap.add_argument("--src", default=str(DEFAULT_SRC))
-    ap.add_argument("--out", default=None)
-    ap.add_argument("--langs", default=None, help="comma-separated subset")
-    ap.add_argument("-n", "--not-strict", action="store_true",
-                    help="allow missing confidence thresholds (reference -n)")
-    a = ap.parse_args()
-    compile_model(a.src, a.out, a.langs.split(",") if a.langs else None,
-                  strict_confidence=not a.not_strict)
+    sys.exit(_cli_main(["compile-model", *sys.argv[1:]]))

@@ -134,7 +134,20 @@ def run_pipeline(
     Returns aggregated counters.
     """
     mf = TableManifest(out_root)
-    done = set(mf.committed_buckets()) if resume else set()
+    committed = mf.committed_buckets() if resume else {}
+    # resume is only sound under the SAME bucketing: committed bucket ids
+    # refer to pmod(xxhash64(clip_id), n_buckets) — rerunning with a
+    # different n_buckets would skip ids that now hash elsewhere (silent
+    # row loss). The lineage recorded at commit time exists for this check.
+    for b, meta in committed.items():
+        prev_n = meta.get("lineage", {}).get("n_buckets")
+        if prev_n is not None and prev_n != n_buckets:
+            raise ValueError(
+                f"resume with n_buckets={n_buckets} but bucket {b} was "
+                f"committed under n_buckets={prev_n}; rerun with "
+                f"n_buckets={prev_n} or a fresh output root"
+            )
+    done = set(committed)
     withb = clips.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col("clip_id")), F.lit(n_buckets))
     )

@@ -69,13 +69,27 @@ class TableManifest:
             "total_rows": sum(b["rows"] for b in buckets.values()),
         }
         name = f"snapshot-{n}.json"
-        tmp = self.mdir / (name + ".tmp")
-        tmp.write_text(json.dumps(snap, indent=1))
-        os.replace(tmp, self.mdir / name)
-        cur_tmp = self.mdir / "CURRENT.tmp"
-        cur_tmp.write_text(name)
-        os.replace(cur_tmp, self.mdir / "CURRENT")
+        self._durable_write(self.mdir / name, json.dumps(snap, indent=1))
+        self._durable_write(self.mdir / "CURRENT", name)
         return snap
+
+    def _durable_write(self, path, text: str) -> None:
+        """write-tmp → fsync(file) → rename → fsync(dir): rename alone is
+        atomic against PROCESS crashes but not against system crashes —
+        without the fsyncs ext4 may persist the rename before the data
+        blocks and a power loss leaves CURRENT pointing at an empty
+        snapshot, bricking resume."""
+        tmp = path.with_name(path.name + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write(text)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        dfd = os.open(str(path.parent), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def bucket_path(self, bucket: int) -> str:
         return str(self.root / "data" / f"bucket={bucket}")

@@ -107,7 +107,11 @@ def streaming_exact_dedup(
             StructField("fp", StringType()),
         ]
     )
-    state_schema = StructType([StructField("n_seen", LongType())])
+    # presence marker, not a counter: a per-duplicate count would force a
+    # state-store WRITE on every already-seen fingerprint per trigger while
+    # no output ever surfaces it — one write at first sight is the honest
+    # (and O(new keys), not O(touched keys)) state contract
+    state_schema = StructType([StructField("seen", LongType())])
 
     def dedup_fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -120,11 +124,8 @@ def streaming_exact_dedup(
             columns=[id_col, text_col, "fp"]
         )
         n_new = len(batch)
-        if state.exists:
-            (n,) = state.get
-            state.update((n + n_new,))
-        else:
-            state.update((n_new,))
+        if not state.exists:
+            state.update((1,))
             if n_new:
                 # deterministic survivor: min id within the first batch
                 yield batch.sort_values(id_col).iloc[[0]]
@@ -164,10 +165,32 @@ def minhash_band_keys_expr(text, bands: "int | None" = None):
     )
 
     bands = bands or LSH_BANDS
-    rows_per_band = len(MINHASH_PARAMS) // bands
     hs = F.transform(
         shingles_expr(text, 5), lambda s: h60(s) % F.lit(MERSENNE_P)
     )
+    return band_keys_from_hashes(hs, bands)
+
+
+def shingle_hashes_expr(text):
+    """array<bigint> of h60-mod-p shingle hashes — project this ONCE as a
+    named column before ``band_keys_from_hashes``: higher-order functions
+    are CodegenFallback, so embedding the array subtree inside each of the
+    12 array_min expressions re-evaluates md5-per-shingle up to 12× per
+    row."""
+    from ..operators.dedup import MERSENNE_P, h60, shingles_expr
+
+    return F.transform(
+        shingles_expr(text, 5), lambda s: h60(s) % F.lit(MERSENNE_P)
+    )
+
+
+def band_keys_from_hashes(hs, bands: "int | None" = None):
+    """Band-key structs from a (possibly pre-projected) shingle-hash array
+    column; same constants as the batch operator."""
+    from ..operators.dedup import LSH_BANDS, MERSENNE_P, MINHASH_PARAMS
+
+    bands = bands or LSH_BANDS
+    rows_per_band = len(MINHASH_PARAMS) // bands
     mins = [
         F.array_min(
             F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P))
@@ -252,11 +275,22 @@ def streaming_minhash_candidates(
         if out_a:
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
-    keyed = clips_stream.select(
-        F.col(id_col).cast("string").alias("id"),
-        F.explode(minhash_band_keys_expr(F.col(text_col))).alias("bk"),
-    ).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    # NULL ids would pass the state-list scans and later crash
+    # sorted((seen, None)) — drop them up front, matching the batch twin
+    # (whose joins never match NULL). The shingle-hash array is projected
+    # ONCE as a named column so the 12 array_min expressions share it
+    # instead of re-hashing every shingle 12× (HOFs are CodegenFallback —
+    # no whole-stage CSE).
+    keyed = (
+        clips_stream.filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).cast("string").alias("id"),
+            shingle_hashes_expr(F.col(text_col)).alias("_hs"),
+        )
+        .select("id", F.explode(band_keys_from_hashes(F.col("_hs"))).alias("bk"))
+        .select(
+            "id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+        )
     )
     timeout = "NoTimeout" if ttl_ms is None else "ProcessingTimeTimeout"
     return keyed.groupBy("band", "sig").applyInPandasWithState(

@@ -178,6 +178,32 @@ def test_resume_no_dup_no_missing(spark):
         clips.unpersist()
 
 
+def test_resume_rejects_changed_bucketing(spark):
+    """Committed bucket ids refer to pmod(hash, n_buckets) — resuming with
+    a different n_buckets must raise (silent row loss otherwise), and
+    lineage records exist precisely for this check."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="resume_guard_")
+    try:
+        clips = clips_from_documents(spark, SF_TINY, with_golden=False)
+        with pytest.raises(RuntimeError):
+            run_pipeline(spark, clips, out, n_buckets=4, fail_after_buckets=2)
+        with pytest.raises(ValueError, match="n_buckets"):
+            run_pipeline(spark, clips, out, n_buckets=8, resume=True)
+        # same bucketing resumes fine
+        run_pipeline(spark, clips, out, n_buckets=4, resume=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compile_model_rejects_unknown_lang():
+    from heliport_spark.model_compile import compile_model
+
+    with pytest.raises(ValueError, match="egn"):
+        compile_model(langs=["egn"], out_dir="/tmp/never_written_model")
+
+
 def test_lang_stats_salted(spark, filtered):
     stats = lang_stats(filtered).collect()
     by_lang = {r["lang"]: r for r in stats}

@@ -127,7 +127,11 @@ def test_streaming_dedup_state_is_per_fingerprint(spark):
             ]
             assert progress, [p and p["numInputRows"] for p in q.recentProgress]
             so = progress[-1]["stateOperators"][0]
-            assert so["numRowsUpdated"] == 1  # only the touched key
+            # presence-marker state: a DUPLICATE touches zero state rows
+            # (the key's marker already exists and is never rewritten) —
+            # stronger than the original per-key proof (r01 #5 was about a
+            # per-bucket blob updating ALL n_fps rows per trigger)
+            assert so["numRowsUpdated"] == 0
             assert so["numRowsTotal"] == n_fps  # one state row per fingerprint
         finally:
             q.stop()
