@@ -748,7 +748,7 @@ def _minhash_sql_parts() -> str:
     return f"""
 WITH docs AS (
   SELECT doc_id AS id,
-         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+         lower(regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS norm
   FROM documents
 ),
 sh0 AS (
@@ -780,7 +780,7 @@ def oracle_sql() -> dict[str, str]:
 
     _, spans_sql = scrub_sql("text")
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    fp_sql = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+    fp_sql = "md5(lower(regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')))"
 
     from heliport_spark.operators.dedup import (
         SIMHASH_BANDS,
@@ -840,7 +840,7 @@ walk(id, lab) AS (
     # word-n-gram CTE for decontaminate (mirrors boilerplate_spans' shape)
     _gramn = f"""
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks FROM documents
 ),
 g AS (
   SELECT doc_id,
@@ -906,27 +906,27 @@ FROM g GROUP BY user_id""",
         "doc_quality": f"""
 SELECT doc_id,
        length(text) AS len_chars,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+            ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens,
        round(CASE WHEN length(text) > 0
              THEN len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)
              ELSE 0 END, 6) AS digit_ratio,
        round(CASE WHEN length(text) > 0
              THEN len(regexp_extract_all(text, '\\p{{L}}'))::DOUBLE / length(text)
              ELSE 0 END, 6) AS alpha_ratio,
-       round(CASE WHEN trim(text) = '' THEN 0 ELSE
-         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       round(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE
+         len(list_filter(string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
                          x -> list_contains([{stop_list}], x)))::DOUBLE
-         / len(string_split_regex(trim(text), '\\s+')) END, 6) AS stopword_ratio,
+         / len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END, 6) AS stopword_ratio,
        {fp_sql} AS fp
 FROM documents""",
         "word_counts": """
 SELECT w AS gram, count(*) AS cnt
-FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+FROM (SELECT unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w FROM documents)
 GROUP BY w ORDER BY cnt DESC, gram LIMIT 100""",
         "char_trigrams": """
 WITH words AS (
-  SELECT ' ' || unnest(string_split_regex(trim(text), '\\s+')) || ' ' AS pw
+  SELECT ' ' || unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) || ' ' AS pw
   FROM documents
 ),
 idx AS (SELECT pw, unnest(generate_series(1, length(pw) - 2)) AS i FROM words)
@@ -935,7 +935,7 @@ FROM idx GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""",
         "ngram_probs": """
 WITH wc AS (
   SELECT lang, w AS gram, count(*) AS cnt
-  FROM (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM (SELECT lang, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w
         FROM documents)
   GROUP BY lang, w
 ),
@@ -947,7 +947,7 @@ FROM la""",
         "posting_lists": """
 WITH lg AS (
   SELECT DISTINCT lang, w AS gram
-  FROM (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM (SELECT lang, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w
         FROM documents)
 )
 SELECT gram, count(DISTINCT lang) AS n_langs,
@@ -1099,7 +1099,7 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, neighbor_id, sim FROM r WHERE rk <= 5""",
         "boilerplate_spans": """
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks FROM documents
 ),
 g AS (
   SELECT doc_id, array_to_string(list_slice(toks, i::INT, i::INT + 7), ' ') AS gram
@@ -1113,8 +1113,8 @@ ORDER BY n_docs DESC, gram LIMIT 100""",
         "corpus_stats": """
 WITH l AS (
   SELECT source, length(text) AS len,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+              ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS toks
   FROM documents
 )
 SELECT source, count(*) AS n_docs,
@@ -1139,13 +1139,13 @@ SELECT source, split, count(*) AS n_docs FROM s GROUP BY source, split""",
         "gopher_rules": f"""
 WITH m AS (
   SELECT source,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS nw,
-         CASE WHEN trim(text) = '' THEN 0.0
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+              ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS nw,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0.0
               ELSE length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
-                   / len(string_split_regex(trim(text), '\\s+')) END AS mwl,
-         CASE WHEN trim(text) = '' THEN 0 ELSE
-           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                   / len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS mwl,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE
+           len(list_filter(string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
                            x -> list_contains([{stop_list}], x))) END AS sh
   FROM documents
 )

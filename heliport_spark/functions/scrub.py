@@ -16,12 +16,17 @@ from pyspark.sql import functions as F
 
 SCRUB_TOKEN = "[SCRUBBED]"
 
-# Ordered: URLs before handles (URLs may contain '@'), emails before handles.
+# Ordered specific-before-general: URLs before handles (URLs may contain
+# '@'), emails before handles, and ssn BEFORE phone — the phone pattern
+# matches every SSN shape (digits+hyphens are all in its middle class), so
+# the other order makes ssn dead code and misattributes every SSN to
+# 'phone' in any per-category accounting. Output text and total span count
+# are identical either way (verified by the oracle), only attribution moves.
 SCRUB_PATTERNS: "tuple[tuple[str, str], ...]" = (
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
     ("url", r"(https?://|www\.)[^\s]+"),
-    ("phone", r"\+?[0-9][0-9()\-\. ]{6,}[0-9]"),
     ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{6,}[0-9]"),
     ("handle", r"@[A-Za-z0-9_]{2,}"),
 )
 

@@ -25,9 +25,18 @@ def n_chars(c: Column) -> Column:
     return F.length(c)
 
 
+def ws_strip(c: Column) -> Column:
+    """Strip ALL leading/trailing whitespace. Spark's (and DuckDB's)
+    ``trim`` removes only ASCII spaces, so 'hello world\n' would otherwise
+    split into ['hello','world',''] — a phantom empty token that inflates
+    every token-count-derived quality metric. The DuckDB oracle twin is
+    regexp_replace(col, '^\\s+|\\s+$', '', 'g')."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def n_tokens(c: Column) -> Column:
-    """Whitespace token count (0 for empty/blank)."""
-    t = F.trim(c)
+    """Whitespace token count (0 for empty/blank; tab/newline-safe)."""
+    t = ws_strip(c)
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
@@ -68,7 +77,7 @@ def upper_ratio(c: Column) -> Column:
 
 def stopword_ratio(c: Column) -> Column:
     """Fraction of whitespace tokens that are (lowercased) stopwords."""
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    toks = F.split(F.lower(ws_strip(c)), r"\s+")
     sw = F.array([F.lit(w) for w in STOPWORDS])
     hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
     return _ratio(hits, n_tokens(c))
@@ -103,7 +112,7 @@ def word_ngrams_expr(text: Column, n: int) -> Column:
     column); the hot paths use :func:`word_ngrams_exploded` instead — the
     transform() here is a Catalyst higher-order function, interpreted per
     element."""
-    toks = F.split(F.trim(text), r"\s+")
+    toks = F.split(ws_strip(text), r"\s+")
     n_w = F.size(toks)
     return F.when(
         n_w >= n,
@@ -127,7 +136,7 @@ def word_ngrams_exploded(df, n: int, text_col: str = "text",
     Short texts: ``sequence(1, size-n+1)`` would DESCEND for size < n
     (Spark generates [1, 0] when stop < start), so positions are emptied
     explicitly and explode drops the row."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(ws_strip(F.col(text_col)), r"\s+")
     positions = F.when(
         F.size("toks") >= n,
         F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
@@ -147,7 +156,7 @@ def word_ngrams_exploded(df, n: int, text_col: str = "text",
 def fingerprint(c: Column) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-normalized,
     lowercased text (portable to the DuckDB oracle)."""
-    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+    return F.md5(F.lower(F.regexp_replace(ws_strip(c), r"\s+", " ")))
 
 
 def fingerprint_sql(col: str) -> str:

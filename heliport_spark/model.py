@@ -50,7 +50,14 @@ DEFAULT_MODEL_DIR = Path(__file__).resolve().parent.parent / "models" / "heli"
 
 
 def hash_grams(grams: "list[str] | np.ndarray") -> np.ndarray:
-    """Vectorized 64-bit hash of unicode grams; padding-width independent."""
+    """Vectorized 64-bit hash of unicode grams; padding-width independent.
+
+    Caveat: numpy 'U' storage cannot distinguish TRAILING U+0000 codepoints
+    from padding, so grams differing only by trailing NULs alias ('a\\x00'
+    hashes as 'a'). Unreachable from the scorer (preprocessing strips NUL —
+    not in the keep table; pinned by tests/test_properties.py), and
+    model_compile validates its input grams; only a caller hashing raw
+    un-preprocessed text with embedded NULs could observe it."""
     if not isinstance(grams, np.ndarray):
         grams = np.asarray(grams, dtype="U")
     elif grams.dtype.kind != "U":
@@ -190,7 +197,13 @@ def get_model(model_dir: "str | os.PathLike" = DEFAULT_MODEL_DIR,
               langs: "list[str] | None" = None,
               strict_confidence: bool = True) -> HeliModel:
     """Process-wide model singleton (mirrors python.rs:68-87's LazyLock)."""
-    key = (str(model_dir), tuple(sorted(langs)) if langs else None,
+    if langs is not None and not langs:
+        # `if langs else None` would collide [] with None in the cache key
+        # and poison every later get_model() with a zero-gram model that
+        # scores pure penalty — and an empty subset is never meaningful
+        raise ValueError("langs subset must be non-empty (or None for all)")
+    key = (str(model_dir),
+           tuple(sorted(langs)) if langs is not None else None,
            strict_confidence)
     m = _MODEL_CACHE.get(key)
     if m is None:

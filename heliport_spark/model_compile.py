@@ -134,6 +134,12 @@ def compile_model(
             grams, probs = parse_model_file(src / f"{lang}.{order_name}.model")
             if not grams:
                 continue
+            if any("\x00" in g for g in grams):
+                # numpy 'U' storage can't tell trailing NUL codepoints from
+                # padding — such grams would silently alias others' postings
+                raise ValueError(
+                    f"{lang}.{order_name}.model contains NUL in a gram"
+                )
             all_hashes.append(hash_grams(grams))
             all_langid.append(np.full(len(grams), LANG_INDEX[lang], dtype=np.uint8))
             all_prob.append(probs)

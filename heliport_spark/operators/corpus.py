@@ -73,16 +73,16 @@ GOPHER_MIN_STOPWORD_HITS = 1
 
 def gopher_metrics(text: Column) -> "dict[str, Column]":
     """Per-doc quality metrics (pure projections)."""
-    from ..functions.text import STOPWORDS, n_tokens
+    from ..functions.text import STOPWORDS, n_tokens, ws_strip
 
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    toks = F.split(F.lower(ws_strip(text)), r"\s+")
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
     nw = n_tokens(text)
     mwl = F.when(
         nw > 0,
         (F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / nw),
     ).otherwise(F.lit(0.0))
-    stop_hits = F.when(F.trim(text) == "", F.lit(0)).otherwise(
+    stop_hits = F.when(ws_strip(text) == "", F.lit(0)).otherwise(
         F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
     )
     return {"n_words": nw, "mean_word_len": mwl, "stop_hits": stop_hits}

@@ -53,7 +53,9 @@ def h60_sql(expr: str) -> str:
 
 def shingles_expr(text, n: int = 5):
     """Distinct char n-gram shingles of the whitespace-normalized text."""
-    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    from ..functions.text import ws_strip
+
+    norm = F.lower(F.regexp_replace(ws_strip(text), r"\s+", " "))
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))),
@@ -90,7 +92,9 @@ def _minhash_wide(df: DataFrame, text_col: str, id_col: str,
     deliberately NOT removed: ``min`` over duplicates is identical, so
     skipping array_distinct keeps everything whole-stage-codegen and the
     result bit-equal to the distinct-shingle oracle (verified row-for-row)."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    from ..functions.text import ws_strip
+
+    norm = F.lower(F.regexp_replace(ws_strip(F.col(text_col)), r"\s+", " "))
     sh = (
         df.select(F.col(id_col).alias("id"), norm.alias("norm"))
         .select(
@@ -172,7 +176,9 @@ def _minhash_wide_salted(df: DataFrame, text_col: str, id_col: str,
     verified downstream, so correlation there only inflates the candidate
     set, never the answer)."""
     H = len(MINHASH_PARAMS)
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    from ..functions.text import ws_strip
+
+    norm = F.lower(F.regexp_replace(ws_strip(F.col(text_col)), r"\s+", " "))
     sh = (
         df.select(F.col(id_col).alias("id"), norm.alias("norm"))
         .select(

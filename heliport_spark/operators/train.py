@@ -65,16 +65,19 @@ def nonalpha_scrub_udf():
         import numpy as np
 
         keep = _get_keep_table()
+        # preserve NULL (DuckDB regexp_replace(NULL,...) is NULL; silently
+        # turning NULL into '' breaks null-propagation parity)
+        nulls = [t is None for t in texts]
         tl = ["" if t is None else str(t) for t in texts]
         joined = "\n".join(tl)
         if not joined:
-            return pd.Series(tl)
+            return pd.Series([None if z else t for z, t in zip(nulls, tl)])
         cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
         cp = np.where(keep[cp], cp, np.uint32(0x20))
         cleaned = cp.tobytes().decode("utf-32-le")
         out, pos = [], 0
-        for t in tl:
-            out.append(cleaned[pos : pos + len(t)])
+        for z, t in zip(nulls, tl):
+            out.append(None if z else cleaned[pos : pos + len(t)])
             pos += len(t) + 1  # 1:1 replacement keeps offsets; +1 skips the sep
         return pd.Series(out)
 
@@ -86,7 +89,9 @@ def words_expr(text: Column) -> Column:
     split_whitespace (trainer.rs:36) modulo the non-alpha replacement, which
     callers apply upstream if they want full training parity (see
     nonalpha_scrub_udf; cmd_create_model applies it)."""
-    t = F.trim(text)
+    from ..functions.text import ws_strip
+
+    t = ws_strip(text)
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
@@ -158,9 +163,10 @@ def prune_and_probs(counts: DataFrame, partition_cols: "list[str]",
     retained = with_total.filter(
         F.col("cnt").cast("double") / F.col("total") > max_used
     )
-    w2 = Window.partitionBy(*[F.col(c) for c in partition_cols])
+    # same spec as w — the pre-/post-filter distinction comes from WHERE the
+    # window is applied (over `retained`), not from a different spec
     return (
-        retained.withColumn("langamount", F.sum("cnt").over(w2))
+        retained.withColumn("langamount", F.sum("cnt").over(w))
         .withColumn(
             "prob", -F.log10(F.col("cnt").cast("double") / F.col("langamount"))
         )

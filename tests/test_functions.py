@@ -119,6 +119,29 @@ def test_text_ratios(spark):
     assert len(r["fp"]) == 32
 
 
+def test_token_counts_tab_newline_safe(spark):
+    """trim() strips only ASCII spaces, so 'hello world\\n' used to count a
+    phantom third token — n_tokens/mean_word_len/gopher words must treat
+    ALL whitespace as boundaries (ws_strip)."""
+    from heliport_spark.operators.corpus import gopher_metrics
+    from heliport_spark.operators.train import words_expr
+
+    rows = [("hello world\n",), ("\thello\n",), ("\t\n",), ("",), (" a  b ",)]
+    df = spark.createDataFrame(rows, "t string")
+    c = F.col("t")
+    m = gopher_metrics(c)
+    got = df.select(
+        T.n_tokens(c).alias("nt"),
+        F.round(T.mean_word_len(c), 4).alias("mwl"),
+        m["n_words"].alias("gw"),
+        F.size(words_expr(c)).alias("we"),
+    ).collect()
+    assert [(r["nt"], r["gw"], r["we"]) for r in got] == [
+        (2, 2, 2), (1, 1, 1), (0, 0, 0), (0, 0, 0), (2, 2, 2)
+    ]
+    assert got[0]["mwl"] == 5.0  # 10 chars / 2 words, not 10/3
+
+
 def test_stopword_on(spark):
     c = F.col("t")
     r = _one(spark, "the on a", [T.stopword_ratio(c).alias("sr")])
