@@ -79,13 +79,33 @@ def _hash_spans(cp: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndar
     if n == 0:
         return h
     cap = len(cp) - 1
+    max_len = int(lens.max())
     with np.errstate(over="ignore"):
-        for j in range(int(lens.max())):
+        # full-width masked loop for normal word lengths (fastest when most
+        # lanes are active), then compact to the surviving spans: one
+        # pathological 100k-char token must cost O(its length), not
+        # O(its length × batch width)
+        j = 0
+        for j in range(min(max_len, 64)):
             active = lens > j
             if not active.any():
                 break
             c = cp[np.minimum(starts + j, cap)].astype(np.uint64)
             h = np.where(active, (h ^ c) * _FNV_PRIME, h)
+        if max_len > 64:
+            pos = np.flatnonzero(lens > 64)
+            hi, si, li = h[pos].copy(), starts[pos], lens[pos]
+            j = 64
+            while pos.size:
+                alive = li > j
+                if not alive.all():
+                    done = ~alive
+                    h[pos[done]] = hi[done]  # retire finished spans
+                    pos, hi, si, li = pos[alive], hi[alive], si[alive], li[alive]
+                    if not pos.size:
+                        break
+                hi = (hi ^ cp[si + j].astype(np.uint64)) * _FNV_PRIME
+                j += 1
         h = _splitmix(h)
     return h
 
@@ -120,6 +140,10 @@ class Scorer:
         self._bank_reset()
         # exact memo: word -> dense (N_LANGS,) f32 word-score vector
         self._memo_exact: dict = {}
+        # one-slot P1-P4 result cache: with_ft scores every batch twice
+        # (HeLI + fastText); the second pass reuses the first's codepoint
+        # work (same str objects → tuple == is pointer-fast)
+        self._core_cache: "tuple | None" = None
 
     # ------------------------------------------------------------ vocab bank
     # Scored distinct words live in flat growable arrays (sparse CSR-style):
@@ -190,6 +214,10 @@ class Scorer:
         ``preprocess_batch`` materializes token strings for the exact / ft
         paths.
         """
+        key = tuple(texts)
+        cached = self._core_cache
+        if cached is not None and cached[0] == key:
+            return cached[1]
         m = self.model
         n = len(texts)
         lowered = [t.lower() if isinstance(t, str) else "" for t in texts]
@@ -240,7 +268,9 @@ class Scorer:
         bounds = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(np.bincount(tok_text, minlength=n), out=bounds[1:])
         valid = bounds[1:] > bounds[:-1]
-        return cp, s_idx, e_idx, tok_text, bounds, cjk_pct, valid
+        result = (cp, s_idx, e_idx, tok_text, bounds, cjk_pct, valid)
+        self._core_cache = (key, result)
+        return result
 
     def preprocess_batch(self, texts: "list[str]"):
         """P1-P4 with materialized token strings (exact / ft paths).
@@ -628,6 +658,9 @@ class Scorer:
         memo = getattr(self, "_memo_ftb", None)
         if memo is None:
             memo = self._memo_ftb = {}
+        if len(memo) > self.cache_cap:
+            memo.clear()  # same bound as the HeLI memos: reused workers
+            # on a crawl-scale vocabulary must not grow without limit
         n = len(texts)
         tokens, tok_text, bounds, _, _ = self.preprocess_batch(list(texts))
         lang_idx = np.full(n, ZXX, dtype=np.int64)
@@ -688,6 +721,8 @@ class Scorer:
         ot = self.model.orders[t]
         memo = self._memo_ft if hasattr(self, "_memo_ft") else {}
         self._memo_ft = memo
+        if len(memo) > self.cache_cap:
+            memo.clear()
         n = len(texts)
         points = np.zeros((n, N_LANGS), dtype=np.float32)
         counts = np.zeros(n, dtype=np.int64)
@@ -751,13 +786,13 @@ class Scorer:
             row: "list[tuple[str, float]]" = []
             seen: set = set()
             for i in orders[r]:
+                if len(row) >= k:  # BEFORE append: reference rank_langs
+                    break          # returns [] for k <= 0
                 c = int(COLLAPSE[i])
                 if c in seen:
                     continue
                 seen.add(c)
                 row.append((str(LANGS_ARR[c]), float(p[i])))
-                if len(row) >= k:
-                    break
             out.append(row)
         return out
 

@@ -98,7 +98,9 @@ def identify_df(
         ]
     struct_type = StructType(fields)
 
-    langs_key = tuple(sorted(langs)) if langs else None
+    # `if langs` would collapse [] into None (full model) — the empty
+    # subset must instead propagate to get_model's ValueError
+    langs_key = tuple(sorted(langs)) if langs is not None else None
 
     @F.pandas_udf(returnType=struct_type)
     def heli_udf(texts: pd.Series) -> pd.DataFrame:
@@ -151,7 +153,15 @@ def format_cli_output(df: DataFrame, precision: int = 4,
     """CLI-parity line formatting: ``lang\\tscore`` at fixed precision
     (print_result, /root/reference/src/cli/identify.rs:217-226)."""
     if print_scores:
+        # bround first: JVM %f rounds HALF_UP while the reference's Rust
+        # (and Python's %.4f) round half-to-even on exact decimal ties
+        # (e.g. f32 0.03125 → '0.0312', not '0.0313'); formatting the
+        # already-half-even-rounded value is then tie-free
         return df.select(
-            F.format_string(f"%s\t%.{precision}f", F.col("lang"), F.col("score")).alias("value")
+            F.format_string(
+                f"%s\t%.{precision}f",
+                F.col("lang"),
+                F.bround(F.col("score"), precision),
+            ).alias("value")
         )
     return df.select(F.col("lang").alias("value"))

@@ -25,19 +25,17 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's scale posture."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    if master is None:
-        master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 32)
     # One BLAS/OMP thread per Python worker: N workers × M spinning BLAS
     # threads destroys scaling of the vectorized-UDF stage (threads busy-wait
     # on 242-wide ops that numpy executes single-threaded anyway).
-    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
-              "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+    BLAS_VARS = ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                 "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS")
+    for v in BLAS_VARS:
         os.environ.setdefault(v, "1")
     b = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         # host-independent timestamp semantics: unix_millis on NTZ timestamps
         # is session-timezone-dependent; the DuckDB oracle treats them as UTC
         .config("spark.sql.session.timeZone", "UTC")
@@ -56,6 +54,24 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # the env-var pinning above only reaches THIS process; on a real cluster
+    # executor Python workers need the same pinning via executorEnv
+    for v in BLAS_VARS:
+        b = b.config(f"spark.executorEnv.{v}", "1")
+    if master is None:
+        # Under spark-submit the driver talks to a pre-launched gateway JVM
+        # (PYSPARK_GATEWAY_PORT set) whose --master yarn/k8s/local[N] the
+        # bare builder resolves — NEVER override it with a hardcoded
+        # local[N] (that would silently run the whole '1000-executor' job
+        # single-node in the driver container; verified: SparkConf() does
+        # NOT surface spark.master there, the gateway env var is the
+        # reliable signal). Only a bare `python` run falls back to
+        # local[N], keeping SPARK_GRAFT_CPUS as the core cap for the
+        # bench/scaling ladder.
+        if "PYSPARK_GATEWAY_PORT" not in os.environ:
+            master = f"local[{cpus}]"
+    if master is not None:
+        b = b.master(master)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

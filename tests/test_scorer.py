@@ -116,3 +116,26 @@ def test_duplicate_texts_identical_results(fast_scorer):
         assert float(s1[i]) == float(s2[0])
         assert float(r1[i]) == float(r2[0])
         assert float(c1[i]) == float(c2[0])
+
+
+def test_topk_k_zero_empty():
+    s = Scorer()
+    assert s.identify_topk("hello world", 0) == []
+    assert s.identify_topk("hello world", 1) and len(s.identify_topk("hello", 1)) == 1
+
+
+def test_hash_spans_long_token_matches_hash_grams():
+    """Spans > 64 chars go through the compacted long-span loop — must stay
+    bit-identical to hash_grams (and not cost O(len × batch))."""
+    import numpy as np
+
+    from heliport_spark.heli import _hash_spans
+    from heliport_spark.model import hash_grams
+
+    words = ["short", "x" * 65, "y" * 500, "z" * 64, "mid" * 30]
+    joined = "\x00".join(words)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+    lens = np.array([len(w) for w in words], dtype=np.int64)
+    starts = np.zeros(len(words), dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=starts[1:])
+    assert _hash_spans(cp, starts, lens).tolist() == hash_grams(words).tolist()
