@@ -75,12 +75,19 @@ def upper_ratio(c: Column) -> Column:
     return _ratio(F.regexp_count(c, F.lit(r"[A-Z]")), F.length(c))
 
 
-def stopword_ratio(c: Column) -> Column:
-    """Fraction of whitespace tokens that are (lowercased) stopwords."""
+def stopword_hits(c: Column) -> Column:
+    """Count of (lowercased) whitespace tokens that are stopwords (0 for
+    blank text — the empty split would otherwise contribute a '' token).
+    Shared by stopword_ratio and the Gopher rules (operators/corpus.py)."""
     toks = F.split(F.lower(ws_strip(c)), r"\s+")
     sw = F.array([F.lit(w) for w in STOPWORDS])
     hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
-    return _ratio(hits, n_tokens(c))
+    return F.when(ws_strip(c) == "", F.lit(0)).otherwise(hits)
+
+
+def stopword_ratio(c: Column) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords."""
+    return _ratio(stopword_hits(c), n_tokens(c))
 
 
 def mean_word_len(c: Column) -> Column:

@@ -73,19 +73,13 @@ GOPHER_MIN_STOPWORD_HITS = 1
 
 def gopher_metrics(text: Column) -> "dict[str, Column]":
     """Per-doc quality metrics (pure projections)."""
-    from ..functions.text import STOPWORDS, n_tokens, ws_strip
+    from ..functions.text import mean_word_len, n_tokens, stopword_hits
 
-    toks = F.split(F.lower(ws_strip(text)), r"\s+")
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    nw = n_tokens(text)
-    mwl = F.when(
-        nw > 0,
-        (F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / nw),
-    ).otherwise(F.lit(0.0))
-    stop_hits = F.when(ws_strip(text) == "", F.lit(0)).otherwise(
-        F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
-    )
-    return {"n_words": nw, "mean_word_len": mwl, "stop_hits": stop_hits}
+    return {
+        "n_words": n_tokens(text),
+        "mean_word_len": mean_word_len(text),
+        "stop_hits": stopword_hits(text),
+    }
 
 
 def gopher_quality(df: DataFrame, text_col: str = "text",
@@ -235,12 +229,24 @@ def corpus_sketches(df: DataFrame, text_col: str = "text",
         F.approx_percentile("len", F.lit(0.5), F.lit(2000)).alias("p50_len_approx"),
         F.approx_percentile("len", F.lit(0.95), F.lit(2000)).alias("p95_len_approx"),
     )
+    from ..functions.text import ws_strip
+
     vocab = df.select(
-        *gcols, F.explode(F.split(F.lower(F.trim(c)), r"\s+")).alias("w")
-    ).groupBy(*group_cols).agg(
+        *gcols, F.explode(F.split(F.lower(ws_strip(c)), r"\s+")).alias("w")
+    ).filter(F.col("w") != "").groupBy(*group_cols).agg(
         F.approx_count_distinct("w").alias("approx_vocab")
     )
-    return doc_level.join(vocab, list(group_cols))
+    # null-SAFE join: a NULL group key (e.g. source IS NULL) aggregates on
+    # both sides but a plain equi-join would drop it — the sketch companion
+    # must report every group the exact operator reports
+    cond = None
+    for g in group_cols:
+        eq = doc_level[g].eqNullSafe(vocab[g])
+        cond = eq if cond is None else cond & eq
+    return doc_level.join(vocab, cond).select(
+        *[doc_level[g] for g in group_cols],
+        "approx_docs", "p50_len_approx", "p95_len_approx", "approx_vocab",
+    )
 
 
 def length_stats(df: DataFrame, text_col: str = "text",

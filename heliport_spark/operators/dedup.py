@@ -68,14 +68,45 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on the normalized-text fingerprint: keep the min-id row
     per group; output survivors with their duplicate count."""
+    # groupBy, not a window over fp: partial (map-side) aggregation
+    # collapses each fingerprint before the exchange, and a hot fingerprint
+    # (one boilerplate page duplicated millions of times) costs its reducer
+    # one combined row per map partition instead of every raw row
     fp = fingerprint(F.col(text_col)).alias("fp")
-    w = Window.partitionBy("fp")
     return (
         df.select(F.col(id_col), fp)
-        .withColumn("dup_count", F.count(F.lit(1)).over(w))
-        .withColumn("keeper", F.min(id_col).over(w))
-        .filter(F.col(id_col) == F.col("keeper"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
         .select(F.col(id_col), F.col("fp"), F.col("dup_count"))
+    )
+
+
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str,
+                  n_shingle: int) -> DataFrame:
+    """(id, sh) rows via the codegen'd ``explode(sequence) + substr``
+    (measured 3× faster than the transform-HOF form — see _minhash_wide);
+    duplicates NOT removed (callers that need set semantics add .distinct(),
+    min-aggregates don't care)."""
+    from ..functions.text import ws_strip
+
+    norm = F.lower(F.regexp_replace(ws_strip(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.col(id_col).alias("id"), norm.alias("norm"))
+        .select(
+            "id", "norm",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("norm") - F.lit(n_shingle - 1), F.lit(1)),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "id", F.col("norm").substr(F.col("i"), F.lit(n_shingle)).alias("sh")
+        )
     )
 
 
@@ -92,24 +123,8 @@ def _minhash_wide(df: DataFrame, text_col: str, id_col: str,
     deliberately NOT removed: ``min`` over duplicates is identical, so
     skipping array_distinct keeps everything whole-stage-codegen and the
     result bit-equal to the distinct-shingle oracle (verified row-for-row)."""
-    from ..functions.text import ws_strip
-
-    norm = F.lower(F.regexp_replace(ws_strip(F.col(text_col)), r"\s+", " "))
-    sh = (
-        df.select(F.col(id_col).alias("id"), norm.alias("norm"))
-        .select(
-            "id", "norm",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("norm") - F.lit(n_shingle - 1), F.lit(1)),
-                )
-            ).alias("i"),
-        )
-        .select(
-            "id", F.col("norm").substr(F.col("i"), F.lit(n_shingle)).alias("sh")
-        )
-        .withColumn("h", h60(F.col("sh")) % F.lit(MERSENNE_P))
+    sh = _shingle_rows(df, text_col, id_col, n_shingle).withColumn(
+        "h", h60(F.col("sh")) % F.lit(MERSENNE_P)
     )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
@@ -176,24 +191,7 @@ def _minhash_wide_salted(df: DataFrame, text_col: str, id_col: str,
     verified downstream, so correlation there only inflates the candidate
     set, never the answer)."""
     H = len(MINHASH_PARAMS)
-    from ..functions.text import ws_strip
-
-    norm = F.lower(F.regexp_replace(ws_strip(F.col(text_col)), r"\s+", " "))
-    sh = (
-        df.select(F.col(id_col).alias("id"), norm.alias("norm"))
-        .select(
-            "id", "norm",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("norm") - F.lit(n_shingle - 1), F.lit(1)),
-                )
-            ).alias("i"),
-        )
-        .select(
-            "id", F.col("norm").substr(F.col("i"), F.lit(n_shingle)).alias("sh")
-        )
-    )
+    sh = _shingle_rows(df, text_col, id_col, n_shingle)
     aggs = [
         F.min(
             h60(F.concat(F.lit(f"{i}|"), F.col("sh"))) % F.lit(MERSENNE_P)
@@ -224,8 +222,29 @@ def minhash_jaccard_estimate(df: DataFrame, text_col: str = "text",
 
     H = len(MINHASH_PARAMS)
     min_match = math.ceil(threshold * H)
-    cand = _band_candidates(_minhash_wide(df, text_col, id_col, n_shingle), bands)
-    sm = _minhash_wide_salted(df, text_col, id_col, n_shingle)
+    # ONE shingle explode + ONE groupBy emits BOTH signature families
+    # (affine mh* for banding, salted s* for the estimate) — a separate
+    # _minhash_wide + _minhash_wide_salted pass would normalize, explode
+    # and shuffle the full corpus twice
+    sh = _shingle_rows(df, text_col, id_col, n_shingle).withColumn(
+        "h", h60(F.col("sh")) % F.lit(MERSENNE_P)
+    )
+    both = sh.groupBy("id").agg(
+        *[
+            F.min((F.lit(aa) * F.col("h") + F.lit(bb)) % F.lit(MERSENNE_P)).alias(
+                f"mh{i}"
+            )
+            for i, (aa, bb) in enumerate(MINHASH_PARAMS)
+        ],
+        *[
+            F.min(
+                h60(F.concat(F.lit(f"{i}|"), F.col("sh"))) % F.lit(MERSENNE_P)
+            ).alias(f"s{i}")
+            for i in range(H)
+        ],
+    )
+    cand = _band_candidates(both, bands)
+    sm = both
     a = sm.select(
         F.col("id").alias("id_a"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(H)]
     )
@@ -254,10 +273,10 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: "DataFrame | None" = None,
     """Exact Jaccard over distinct shingle sets for candidate pairs (or all
     pairs sharing ≥1 shingle when candidates is None — only for small inputs).
     Output (id_a, id_b, jaccard rounded to 4dp) where jaccard ≥ threshold."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_expr(F.col(text_col), n_shingle)).alias("sh"),
-    ).distinct()
+    # codegen shingle explode (3× the transform-HOF form) + ONE distinct:
+    # shingles_expr's array_distinct followed by .distinct() deduped the
+    # largest intermediate twice
+    sh = _shingle_rows(df, text_col, id_col, n_shingle).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
         # intersections are driven through the candidate PAIR list, not a
@@ -319,7 +338,11 @@ def duplicate_ngram_spans(df: DataFrame, n: int = 8, min_docs: int = 2,
     ).distinct()
     return (
         per_doc.groupBy("gram")
-        .agg(F.countDistinct("id").alias("n_docs"))
+        # rows are already (id, gram)-distinct: count(*), not
+        # countDistinct, avoids a second two-phase distinct aggregation
+        # over the biggest intermediate (the SQL twin counts after
+        # SELECT DISTINCT the same way)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
 
@@ -410,7 +433,7 @@ def simhash(df: DataFrame, text_col: str = "text",
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = SIMHASH_BITS,
                   bands: int = SIMHASH_BANDS,
-                  max_hamming: int = SIMHASH_BANDS - 1) -> DataFrame:
+                  max_hamming: "int | None" = None) -> DataFrame:
     """SimHash near-duplicate PAIRS: band the signature into ``bands``
     equal-width keys, equi-join same-band keys, verify popcount of the XOR.
     Output (id_a, id_b, hamming) with id_a < id_b, hamming ≤ max_hamming.
@@ -424,6 +447,15 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     (band, key) — the same shuffle-partitionable candidate-generation shape
     as MinHash-LSH (dedup.py:96-126); the Hamming verify is one bit_count
     per surviving candidate pair, never an all-pairs scan."""
+    if max_hamming is None:
+        max_hamming = bands - 1  # derived from the CALLER's bands — the
+        # pigeonhole exactness guarantee below is bands-1, so a module-
+        # constant default would silently under-recall for bands < 4
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the banded-join exactness "
+            f"bound bands-1={bands - 1}; raise bands or lower max_hamming"
+        )
     rows = bits // bands
     key_mask = (1 << rows) - 1
     sig = simhash(df, text_col, id_col, bits)

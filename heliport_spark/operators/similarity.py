@@ -86,9 +86,13 @@ def lsh_bucket_expr(vec, planes: np.ndarray):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        key = key + F.when(proj > 0, F.shiftleft(F.lit(1), i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        # 1<<i must be a BIGINT shift: Java int shifts mask the count mod
+        # 32, so plane 32's weight would wrap to 1 (colliding with plane 0)
+        # and i=31 to Integer.MIN_VALUE — diverging from the UDF's int64
+        # weights
+        key = key + F.when(
+            proj > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint"))
     return key
 
 
@@ -108,8 +112,19 @@ def lsh_bucket_udf(planes: np.ndarray):
     def bucket(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int64")
-        V = np.asarray(vecs.tolist(), dtype=np.float64)
-        return pd.Series(((V @ P.T) > 0) @ weights)
+        vl = vecs.tolist()
+        # NULL embeddings: the expr path buckets them to 0 (every proj is
+        # NULL → no bit set); match that instead of crashing np.asarray on
+        # an object array the moment dim crosses the auto-select threshold
+        mask = [v is None for v in vl]
+        if any(mask):
+            dim = len(P[0])
+            vl = [([0.0] * dim if m else v) for m, v in zip(mask, vl)]
+        V = np.asarray(vl, dtype=np.float64)
+        out = ((V @ P.T) > 0) @ weights
+        if any(mask):
+            out = np.where(mask, 0, out)
+        return pd.Series(out)
 
     return bucket
 
