@@ -570,10 +570,16 @@ def _audio_mel(spark, sf):
     )
 
 
+# boilerplate span width — ONE constant generates both the Spark query and
+# the DuckDB twin (same discipline as DECON_N; a literal on each side would
+# silently desynchronize on a width change)
+BOILERPLATE_N = 8
+
+
 def _boilerplate_spans(spark, sf):
     from heliport_spark.operators.dedup import duplicate_ngram_spans
 
-    spans = duplicate_ngram_spans(_docs_repart(spark, sf), n=8)
+    spans = duplicate_ngram_spans(_docs_repart(spark, sf), n=BOILERPLATE_N)
     return spans.orderBy(F.desc("n_docs"), F.asc("gram")).limit(100)
 
 
@@ -780,7 +786,9 @@ def oracle_sql() -> dict[str, str]:
 
     _, spans_sql = scrub_sql("text")
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    fp_sql = "md5(lower(regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')))"
+    from heliport_spark.functions.text import fingerprint_sql
+
+    fp_sql = fingerprint_sql("text")
 
     from heliport_spark.operators.dedup import (
         SIMHASH_BANDS,
@@ -922,12 +930,13 @@ SELECT doc_id,
 FROM documents""",
         "word_counts": """
 SELECT w AS gram, count(*) AS cnt
-FROM (SELECT unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w FROM documents)
+FROM (SELECT unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w FROM documents
+      WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> '')
 GROUP BY w ORDER BY cnt DESC, gram LIMIT 100""",
         "char_trigrams": """
 WITH words AS (
   SELECT ' ' || unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) || ' ' AS pw
-  FROM documents
+  FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
 ),
 idx AS (SELECT pw, unnest(generate_series(1, length(pw) - 2)) AS i FROM words)
 SELECT substr(pw, i::INT, 3) AS gram, count(*) AS cnt
@@ -936,7 +945,7 @@ FROM idx GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""",
 WITH wc AS (
   SELECT lang, w AS gram, count(*) AS cnt
   FROM (SELECT lang, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w
-        FROM documents)
+        FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> '')
   GROUP BY lang, w
 ),
 tot AS (SELECT *, sum(cnt) OVER (PARTITION BY lang) AS total FROM wc),
@@ -948,7 +957,7 @@ FROM la""",
 WITH lg AS (
   SELECT DISTINCT lang, w AS gram
   FROM (SELECT lang, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w
-        FROM documents)
+        FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> '')
 )
 SELECT gram, count(DISTINCT lang) AS n_langs,
        string_agg(lang, ',' ORDER BY lang) AS langs_csv
@@ -1097,14 +1106,14 @@ s AS (SELECT query_id, neighbor_id,
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY sim DESC, neighbor_id) AS rk FROM s)
 SELECT query_id, neighbor_id, sim FROM r WHERE rk <= 5""",
-        "boilerplate_spans": """
+        "boilerplate_spans": f"""
 WITH w AS (
   SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks FROM documents
 ),
 g AS (
-  SELECT doc_id, array_to_string(list_slice(toks, i::INT, i::INT + 7), ' ') AS gram
+  SELECT doc_id, array_to_string(list_slice(toks, i::INT, i::INT + {BOILERPLATE_N - 1}), ' ') AS gram
   FROM (SELECT doc_id, toks,
-               unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+               unnest(generate_series(1, greatest(len(toks) - {BOILERPLATE_N - 1}, 0))) AS i
         FROM w)
 ),
 d AS (SELECT DISTINCT doc_id, gram FROM g)

@@ -55,7 +55,12 @@ def run_bench() -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     # JVM/model warmup on the tiny sf so first-query timing isn't JIT noise
-    qs["heli_identify_docs"](spark, "/root/testdata/sf0.001").count()
+    # (fall back to SF_DIR when the driver fixture path doesn't exist on
+    # this host — the warmup must never be the thing that crashes the bench)
+    warm_sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{warm_sf}/documents.parquet"):
+        warm_sf = SF_DIR
+    qs["heli_identify_docs"](spark, warm_sf).count()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
@@ -103,7 +108,20 @@ SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "160"))
 # v2: replicas are salted with a distinct trailing token (see
 # sources/clips.py) so the scorer's exact-duplicate shortcut cannot skip the
 # scoring work this table exists to measure
-SCALING_CLIPS = f"/tmp/heliport_scaling_clips_v2_{_sf_label(SF_DIR)}_{SCALING_REPLICATE}"
+def _sf_key(sf_dir: str) -> str:
+    """Cache/state key for the scaling input: the parsed sf label when the
+    dir follows the sf<float> convention, else a hash of the FULL path —
+    two different unparseable corpora must never collide onto the same
+    materialized clips table or min-merge their scaling measurements."""
+    lbl = _sf_label(sf_dir)
+    if lbl != -1.0:
+        return str(lbl)
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+
+
+SCALING_CLIPS = f"/tmp/heliport_scaling_clips_v2_{_sf_key(SF_DIR)}_{SCALING_REPLICATE}"
 
 
 def ensure_scaling_clips(spark) -> str:
@@ -203,8 +221,11 @@ def run_scaling() -> dict:
     version = SCALING_CLIPS
     state: dict = {}
     if os.path.exists(state_path):
-        with open(state_path) as fh:
-            state = json.load(fh)
+        try:
+            with open(state_path) as fh:
+                state = json.load(fh)
+        except (ValueError, OSError):
+            state = {}  # truncated/corrupt state: restart the ladder
         if state.get("version") != version:
             state = {}
     results: dict = state.get("results", {})
@@ -222,15 +243,26 @@ def run_scaling() -> dict:
                 [sys.executable, os.path.abspath(__file__), "--flagship-only"],
                 capture_output=True, text=True, env=env,
             )
+            if p.returncode != 0 or not p.stdout.strip():
+                # surface the child's real failure instead of dying on
+                # splitlines()[-1] with the stderr swallowed
+                raise RuntimeError(
+                    f"scaling leg {leg} failed (rc={p.returncode}):\n"
+                    f"{p.stderr[-2000:]}"
+                )
             r = json.loads(p.stdout.strip().splitlines()[-1])
             k = str(cpus)
             if k not in results or r["sec"] < results[k]["sec"]:
                 results[k] = r
             done.append(leg)
-            with open(state_path, "w") as fh:
+            # atomic: a kill mid-write must not brick the resume the state
+            # exists to provide
+            tmp = state_path + ".tmp"
+            with open(tmp, "w") as fh:
                 json.dump(
                     {"version": version, "results": results, "done": done}, fh
                 )
+            os.replace(tmp, state_path)
     try:
         hw = {str(c): round(_cpu_baseline(c), 0) for c in ladder}
     except Exception:

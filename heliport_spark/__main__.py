@@ -83,7 +83,10 @@ def cmd_identify(args) -> int:
     def batches():
         batch: list[str] = []
         for line in fin:
-            batch.append(line.rstrip("\n"))
+            # \r too: the reference's BufRead::lines() strips CRLF, so a
+            # CRLF input file must score the same strings (a trailing \r
+            # would perturb every line-final n-gram)
+            batch.append(line.rstrip("\r\n"))
             if len(batch) >= args.batch_size:
                 yield batch
                 batch = []
@@ -178,9 +181,14 @@ def cmd_create_model(args) -> int:
                     F.explode(char_ngrams_expr(F.col("w"), t)).alias("gram")
                 )
             counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+            # persist: top-k and the total are TWO actions over the same
+            # explode+aggregate — without the cache the dominant stage of
+            # training runs twice per order
+            counts = counts.persist()
             top = top_k(counts, args.top_k).orderBy(F.desc("cnt"), F.asc("gram"))
             rows = top.collect()
             total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+            counts.unpersist()
             with open(
                 os.path.join(args.output_dir, f"{lang}.{oname}.model"),
                 "w", encoding="utf-8",

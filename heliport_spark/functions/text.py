@@ -167,7 +167,11 @@ def fingerprint(c: Column) -> Column:
 
 
 def fingerprint_sql(col: str) -> str:
-    return f"md5(lower(regexp_replace(trim({col}), '\\s+', ' ', 'g')))"
+    """DuckDB twin of :func:`fingerprint` (ws_strip semantics, NOT trim —
+    trim strips ASCII spaces only); the single shared generator for every
+    oracle that fingerprints text."""
+    stripped = f"regexp_replace({col}, '^\\\\s+|\\\\s+$', '', 'g')"
+    return f"md5(lower(regexp_replace({stripped}, '\\\\s+', ' ', 'g')))"
 
 
 def quality_struct(c: Column) -> Column:

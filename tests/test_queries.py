@@ -59,3 +59,37 @@ def test_entry_smoke(spark):
     assert {"clip_id", "lang", "confidence", "keep", "scrubbed_text"} <= set(
         df.columns
     )
+
+
+def test_token_oracles_blank_doc_parity(spark, tmp_path):
+    """Latent-divergence guard: DuckDB string_split_regex('') returns ['']
+    while Spark's words_expr maps blank text to no tokens — the token-based
+    oracles carry an explicit blank-doc filter so BOTH sides emit nothing
+    for empty/whitespace-only documents (review r3: word_counts/ngram_probs/
+    posting_lists/char_trigrams previously lacked the guard)."""
+    import duckdb
+
+    rows = [
+        (1, "hello world hello", "en", "s", 17),
+        (2, "", "en", "s", 0),
+        (3, " \n\t ", "de", "s", 4),
+        (4, "welt hello", "de", "s", 10),
+    ]
+    import pandas as pd
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{sf}/documents.parquet")  # single FILE (like the driver fixtures)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    for name in ("word_counts", "char_trigrams", "ngram_probs", "posting_lists"):
+        sp = _QUERIES[name](spark, sf).toPandas()
+        dp = con.execute(_ORACLES[name]).df()
+        assert compare_frames(sp, dp) == [], name
+        # and no empty-string gram leaked through either side
+        if "gram" in sp.columns:
+            assert not (sp["gram"] == "").any(), name
+    con.close()
