@@ -74,6 +74,18 @@ _EXPLICIT_RANGES = (
 )
 
 
+# Letter ranges assigned AFTER this interpreter's unicodedata version
+# (Python 3.11 ships Unicode 14.0) that the reference's regex crate
+# (Unicode 16 \p{L}) matches — without the supplement these are category
+# 'Cn' here and get stripped to spaces while the reference keeps them.
+# All-Lo ideograph blocks (no holes):
+_POST_UNIDATA_LETTER_RANGES: "tuple[tuple[int, int], ...]" = (
+    (0x31350, 0x323AF),  # CJK Ext H (Unicode 15.0)
+    (0x2EBF0, 0x2EE5D),  # CJK Ext I (Unicode 15.1)
+    (0x1E4D0, 0x1E4EB),  # Nag Mundari letters (15.0; EC-F9 are digits/marks)
+)
+
+
 def build_keep_table() -> np.ndarray:
     """bool[0x110000]: True = char survives RE_NON_ALPHA replacement."""
     keep = np.zeros(N_CODEPOINTS, dtype=bool)
@@ -85,6 +97,8 @@ def build_keep_table() -> np.ndarray:
     for ch in _EXPLICIT_KEPT:
         keep[ord(ch)] = True
     for lo, hi in _EXPLICIT_RANGES:
+        keep[lo : hi + 1] = True
+    for lo, hi in _POST_UNIDATA_LETTER_RANGES:
         keep[lo : hi + 1] = True
     return keep
 

@@ -94,6 +94,13 @@ def train_ft(
     rng = np.random.default_rng(seed)
     texts, y = _synth_corpus(rng, sentences_per_lang)
     n = len(texts)
+    if n < 10:
+        # fail with a diagnosis instead of np.concatenate([]) /
+        # nan-eval_acc downstream
+        raise ValueError(
+            f"ft training corpus degenerate ({n} sentences) — check "
+            f"sentences_per_lang and that the model source exists"
+        )
     perm = rng.permutation(n)
     n_eval = n // 10
     eval_idx, train_idx = perm[:n_eval], perm[n_eval:]
@@ -165,8 +172,16 @@ def train_ft(
         vb[:] = mom * vb - lr * dbias
         bias += vb
 
-    def predict(idx):
-        return (_dense_counts(idx) @ M + bias).argmax(axis=1)
+    def predict(idx, chunk=4096):
+        # chunked: one full-train dense counts matrix transiently costs
+        # ~1.7 GB at corpus scale; per-chunk peak is bounded instead
+        preds = np.empty(len(idx), dtype=np.int64)
+        for lo in range(0, len(idx), chunk):
+            sub = idx[lo : lo + chunk]
+            preds[lo : lo + len(sub)] = (
+                _dense_counts(sub) @ M + bias
+            ).argmax(axis=1)
+        return preds
 
     acc_tr = float((predict(train_idx) == y[train_idx]).mean())
     acc_ev = float((predict(eval_idx) == y[eval_idx]).mean())
@@ -175,6 +190,7 @@ def train_ft(
               file=sys.stderr)
 
     out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
     np.save(out / "ft_M.npy", M)
     np.save(out / "ft_b.npy", bias)
     (out / "ft_meta.json").write_text(

@@ -77,11 +77,12 @@ def synth_pcm(row_id: int, sr_hz: int = 16000, dur_ms: "int | None" = None) -> b
     rng = np.random.default_rng(42 + (row_id % (2**31)))
     if dur_ms is None:
         dur_ms = int(200 + (row_id * 37) % 800)
+    from ..functions.audio import encode_pcm_s16le
+
     n = sr_hz * dur_ms // 1000
     t = np.arange(n, dtype=np.float64) / sr_hz
     wave = 0.3 * np.sin(2 * np.pi * 440.0 * t) + 0.05 * rng.standard_normal(n)
-    q = np.clip(np.rint(wave * 32768.0), -32768, 32767).astype("<i2")
-    return q.tobytes()
+    return encode_pcm_s16le(wave.astype(np.float32))
 
 
 def clips_from_documents(spark: SparkSession, sf_dir: str,
@@ -116,6 +117,15 @@ def clips_from_documents(spark: SparkSession, sf_dir: str,
     def synth(batches):
         CHUNK = 128
         for pdf0 in batches:
+            if len(pdf0) and int(pdf0["doc_id"].max()) >= 10_000_000:
+                # golden rows start at 10M, signal-adversarial at 20M — a
+                # corpus (or replicate factor) whose ids reach that range
+                # would silently collide clip_ids with the fixture rows
+                raise ValueError(
+                    "doc_id >= 10,000,000 collides with the golden/"
+                    "adversarial clip_id namespace; lower replicate or "
+                    "re-key the corpus"
+                )
             for lo in range(0, len(pdf0), CHUNK):
                 pdf = pdf0.iloc[lo : lo + CHUNK]
                 out = pd.DataFrame(
