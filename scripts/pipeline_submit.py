@@ -25,6 +25,9 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--model-dir", default=None)
     ap.add_argument("--no-ft", action="store_true")
+    ap.add_argument("--signal-gate", action="store_true",
+                    help="decode PCM of transcript-gate survivors and AND "
+                         "silence/clipping/drift flags into keep")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("heliport_quality_filter").getOrCreate()
@@ -38,6 +41,7 @@ def main() -> int:
     counters = run_pipeline(
         spark, clips, args.output, n_buckets=args.buckets,
         model_dir=args.model_dir, with_ft=not args.no_ft,
+        with_signal_gate=args.signal_gate,
     )
     print(f"pipeline complete: {counters}")
     return 0
