@@ -50,6 +50,28 @@ def test_identify_single_arrow_eval(spark):
     assert "Exchange" not in plan  # no shuffle in the per-row pipeline
 
 
+def test_signal_gated_pipeline_two_python_stages(spark):
+    """with_signal_gate=True adds exactly ONE more Python stage (the Arrow
+    PCM decode via mapInPandas) on top of the langid ArrowEvalPython —
+    still zero shuffles; the gate is per-row inside that one pass, never a
+    split/union re-read of the input."""
+    from heliport_spark.pipeline import quality_filter
+
+    clips = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("clip_id"),
+        F.col("text").alias("transcript"),
+        F.lit(bytearray(b"\x00\x00")).alias("bytes"),
+        F.lit(16000).alias("sr_hz"),
+        F.lit(1000).alias("dur_ms"),
+        F.lit("pcm_s16le").alias("codec"),
+    )
+    out = quality_filter(clips, with_ft=False, with_signal_gate=True)
+    plan = plan_of(out)
+    n_python = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+    assert n_python == 2, plan
+    assert "Exchange" not in plan
+
+
 def test_bytes_pruned_from_python_stage(spark):
     """The langid UDF input is only the transcript column — the binary
     payload must not be an argument to any Python evaluation node."""
