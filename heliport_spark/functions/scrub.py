@@ -20,8 +20,11 @@ SCRUB_TOKEN = "[SCRUBBED]"
 # '@'), emails before handles, and ssn BEFORE phone — the phone pattern
 # matches every SSN shape (digits+hyphens are all in its middle class), so
 # the other order makes ssn dead code and misattributes every SSN to
-# 'phone' in any per-category accounting. Output text and total span count
-# are identical either way (verified by the oracle), only attribution moves.
+# 'phone' in any per-category accounting. NOTE: the order is load-bearing
+# for OUTPUT too, not just attribution — e.g. '12345678 123-45-6789' scrubs
+# as two spans ssn-first but ONE phone span phone-first (the phone class
+# eats spaces/hyphens across both) — reordering changes scrubbed_text and
+# span counts and would break oracle parity.
 SCRUB_PATTERNS: "tuple[tuple[str, str], ...]" = (
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
     ("url", r"(https?://|www\.)[^\s]+"),

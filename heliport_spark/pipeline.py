@@ -134,6 +134,11 @@ def run_pipeline(
     Returns aggregated counters.
     """
     mf = TableManifest(out_root)
+    if not resume:
+        # a fresh run over a used output root must NOT union with the stale
+        # manifest (old buckets would survive alongside new ones and
+        # read_pipeline_output would return rows twice)
+        mf.reset()
     committed = mf.committed_buckets() if resume else {}
     # resume is only sound under the SAME bucketing: committed bucket ids
     # refer to pmod(xxhash64(clip_id), n_buckets) — rerunning with a

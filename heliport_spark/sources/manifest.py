@@ -91,6 +91,26 @@ class TableManifest:
         finally:
             os.close(dfd)
 
+    def reset(self) -> None:
+        """Start over: commit a fresh EMPTY snapshot on top of the history
+        (monotone snapshot ids — the reset is itself lineage). Without this
+        a non-resume rerun would union its buckets into the stale manifest
+        and read_pipeline_output would return old and new rows together."""
+        prev = self.current_snapshot()
+        if prev is None or not prev["buckets"]:
+            return
+        n = prev["snapshot_id"] + 1
+        snap = {
+            "snapshot_id": n,
+            "parent_id": prev["snapshot_id"],
+            "committed_at_unix": int(time.time()),
+            "buckets": {},
+            "total_rows": 0,
+        }
+        name = f"snapshot-{n}.json"
+        self._durable_write(self.mdir / name, json.dumps(snap, indent=1))
+        self._durable_write(self.mdir / "CURRENT", name)
+
     def bucket_path(self, bucket: int) -> str:
         return str(self.root / "data" / f"bucket={bucket}")
 

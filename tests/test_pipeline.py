@@ -197,6 +197,31 @@ def test_resume_rejects_changed_bucketing(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_no_resume_resets_stale_manifest(spark):
+    """resume=False over a used output root must NOT union with the stale
+    manifest: a rerun with different bucketing would otherwise leave old
+    buckets committed alongside new ones and read_pipeline_output would
+    return rows twice (review r3 finding)."""
+    import tempfile
+
+    from heliport_spark.pipeline import read_pipeline_output
+
+    out = tempfile.mkdtemp(prefix="noresume_reset_")
+    try:
+        clips = clips_from_documents(spark, SF_TINY, with_golden=False)
+        n_in = clips.count()
+        run_pipeline(spark, clips, out, n_buckets=8)
+        run_pipeline(spark, clips, out, n_buckets=4, resume=False)
+        got = read_pipeline_output(spark, out)
+        assert got.count() == n_in                      # no duplicated rows
+        assert got.select("clip_id").distinct().count() == n_in
+        mf = TableManifest(out)
+        assert set(mf.committed_buckets()) == set(range(4))  # only new run
+        assert mf.aggregate_counters()["clips_seen"] == n_in
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_compile_model_rejects_unknown_lang():
     from heliport_spark.model_compile import compile_model
 
