@@ -534,12 +534,37 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         .localCheckpoint(eager=True)
     )
     changed = 0
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
+        parts = [labels]
         prop = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "lab")
+        parts.append(prop)
+        if rnd >= 3:
+            # still unconverged after 3 plain rounds ⇒ long-diameter
+            # component: add pointer jumping (adopt the label OF my current
+            # label, lab[lab[id]]) so labels spread along 2^k-hop paths and
+            # the loop closes in O(log diameter) further rounds. Not done
+            # from round 0: typical near-dup graphs converge in ≤3 plain
+            # rounds and the extra self-join would be pure overhead there.
+            # (lab is always a node of the same component, so the min stays
+            # within-component and the fixpoint is unchanged.)
+            jmp = (
+                labels.alias("x")
+                .join(
+                    labels.select(
+                        F.col("id").alias("jid"), F.col("lab").alias("jlab")
+                    ),
+                    F.col("x.lab") == F.col("jid"),
+                )
+                .select(F.col("x.id").alias("id"), F.col("jlab").alias("lab"))
+            )
+            parts.append(jmp)
+        u = parts[0]
+        for extra in parts[1:]:
+            u = u.union(extra)
         new_labels = (
-            labels.union(prop).groupBy("id").agg(F.min("lab").alias("lab"))
+            u.groupBy("id").agg(F.min("lab").alias("lab"))
             .localCheckpoint(eager=True)
         )
         changed = (
