@@ -509,6 +509,14 @@ def test_dup_clusters_components(spark):
     b = {r["id"]: r["cluster_id"]
          for r in dup_clusters(pairs.repartition(7)).collect()}
     assert b == {i: got[i][0] for i in got}
+    # deep component: a 200-node path engages pointer jumping after the
+    # 3 plain rounds and must still fully collapse (O(log diameter) <<
+    # max_iters; plain propagation alone would need 199 rounds)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a bigint, id_b bigint"
+    )
+    deep = {r["id"]: r["cluster_id"] for r in dup_clusters(chain).collect()}
+    assert len(deep) == 200 and all(v == 0 for v in deep.values())
 
 
 def test_temperature_resample_flattens_and_is_invariant(spark):
