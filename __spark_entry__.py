@@ -356,6 +356,17 @@ def _embedding_neardup(spark, sf):
     )
 
 
+def _embedding_neardup_lsh(spark, sf):
+    """The LSH-bucketed scale path of embedding near-dup (multi-table sign
+    prefilter + exact cosine verify) — rows-only: recall < 1 by construction
+    (the exhaustive twin ``embedding_neardup`` above is the oracle-checked
+    one; the recall floor vs it is pinned in tests/test_functions.py)."""
+    from heliport_spark.operators.similarity import embedding_neardup
+
+    e = _t(spark, sf, "embeddings")
+    return embedding_neardup(e, threshold=0.4, n_tables=8)
+
+
 def _events_json(spark, sf):
     """JSON scalar extraction + aggregation (props is a JSON string)."""
     e = _t(spark, sf, "events")
@@ -736,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_chunks": _audio_chunks,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
+        "embedding_neardup_lsh": _embedding_neardup_lsh,
         "corpus_sketches": _corpus_sketches,
     }
 

@@ -151,43 +151,69 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
-    n_tables: int = 4,
+    n_tables: int = 8,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE sign-LSH: ``n_tables`` independent
     hyperplane sets, candidates = union of same-bucket pairs across tables
     (deduped before the exact cosine rank). One table at 8 bits recalls only
     a few percent of the true top-k (a near neighbor must agree on ALL bits
-    of that one table); L tables lift recall to 1-(1-p^b)^L — measured 2%
-    (1 table) → ~50%+ (4 tables) on the sf0.01 embeddings.
+    of that one table); L tables lift recall to 1-(1-p^b)^L.
+
+    ``multiprobe=1`` (default) additionally probes every bucket at Hamming
+    distance 1 from each query's bucket (flip one sign bit per probe —
+    [Lv et al. 2007 multi-probe LSH]): a QUERY-side-only ×(1+n_planes)
+    expansion; the corpus keeps exactly one bucket row per table, so corpus
+    shuffle volume is unchanged. Measured on the sf0.01 embeddings (near-
+    random vectors, the hard regime): recall 0.10 (4 tables, exact buckets)
+    → 0.30 (4 tables + probes) → 0.64 (8 tables + probes, the default);
+    planted-neighbor fixture 1.0. ``multiprobe=0`` restores exact-bucket
+    probing. Only 0/1 supported — Hamming-2 probing would explode queries
+    ×O(n_planes²); add tables instead.
 
     Scale shape: corpus rows explode ×n_tables into an equi-join on
     (table, bucket) — shuffle-partitionable, never a crossJoin; candidate
     dedup is a hash aggregate on (query, neighbor)."""
+    if multiprobe not in (0, 1):
+        raise ValueError("multiprobe must be 0 or 1")
     tables = [
         hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)
     ]
+    # probe masks: the exact bucket, plus (multiprobe=1) each 1-bit flip
+    masks = [0] + ([1 << j for j in range(n_planes)] if multiprobe else [])
 
-    def bucketed(src: DataFrame, out_id: str) -> DataFrame:
+    def bucketed(src: DataFrame, out_id: str, probe: bool) -> DataFrame:
+        # base buckets FIRST as named columns — one evaluation per table;
+        # probe variants are then cheap bigint XORs of the named column
+        # (inlining the bucket expression per mask would re-run the dot
+        # products ×(1+n_planes): HOFs are CodegenFallback, no CSE)
+        with_base = src.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_id + "_vec"),
+            *[
+                lsh_bucket_col(F.col(vec_col), planes).alias(f"_b{t}")
+                for t, planes in enumerate(tables)
+            ],
+        )
         entries = F.array(
             *[
                 F.struct(
                     F.lit(t).alias("tbl"),
-                    lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+                    F.col(f"_b{t}").bitwiseXOR(F.lit(m)).alias("bucket"),
                 )
-                for t, planes in enumerate(tables)
+                for t in range(len(tables))
+                for m in (masks if probe else [0])
             ]
         )
-        return src.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(out_id + "_vec"),
-            F.explode(entries).alias("tb"),
+        return with_base.select(
+            out_id, out_id + "_vec", F.explode(entries).alias("tb")
         ).select(
             out_id, out_id + "_vec",
             F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
         )
 
-    c = bucketed(df, "neighbor_id")
-    q = bucketed(queries, "query_id")
+    c = bucketed(df, "neighbor_id", probe=False)
+    q = bucketed(queries, "query_id", probe=True)
     # NO broadcast hint on the query side: callers may feed a large query set
     # (corpus-vs-corpus); AQE's runtime size estimate broadcasts small sides
     # on its own (VERDICT r02 #2 — same fix as ngram_jaccard_pairs r01)
@@ -359,22 +385,57 @@ def embedding_neardup(
     vec_col: str = "embedding",
     n_planes: int = 6,
     dim: int = 64,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via bucketed self-join
-    (sign-LSH prefilter, exact cosine verify). Output (id_a, id_b, sim@4dp)."""
-    planes = hyperplanes(dim, n_planes)
-    t = df.select(
+    (sign-LSH prefilter, exact cosine verify). Output (id_a, id_b, sim@4dp).
+
+    MULTI-TABLE buckets (``n_tables`` independent hyperplane sets — same
+    machinery as lsh_ann_topk): a pair is a candidate if it collides in ANY
+    table, so recall is 1-(1-p^b)^L instead of p^b. Measured recall vs the
+    exhaustive O(n²) twin on the sf0.01 embeddings (near-random vectors,
+    threshold 0.4 — the HARD regime): 0.07 (1 table) → ~0.25 (4 tables);
+    at the operator's intended threshold 0.95 (true near-dups, per-bit
+    agreement p≈0.9) 4 tables recall ≈0.95 — pinned on a planted fixture in
+    tests/test_functions.py.
+
+    Scale shape: corpus explodes ×n_tables into a (tbl, bucket) equi-self-
+    join — shuffle-partitionable, never a crossJoin, no forced broadcasts;
+    the exact cosine verify touches candidate pairs only (deduped across
+    tables FIRST, so a pair colliding in several tables is verified once)."""
+    tables = [hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)]
+    with_base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        *[
+            lsh_bucket_col(F.col(vec_col), planes).alias(f"_b{t}")
+            for t, planes in enumerate(tables)
+        ],
+    )
+    entries = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    t = with_base.select(
+        "id", "vec", F.explode(entries).alias("tb")
+    ).select(
+        "id", "vec",
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
     )
     a = t.alias("a")
     b = t.alias("b")
-    pairs = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    # dedup candidate pairs BEFORE the exact verify: first(vec) carries the
+    # vectors through the same hash aggregate that collapses multi-table hits
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.first("a.vec").alias("va"), F.first("b.vec").alias("vb"))
     )
     return (
-        pairs.withColumn("sim", F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 4))
+        pairs.withColumn("sim", F.round(cosine_expr(F.col("va"), F.col("vb")), 4))
         .filter(F.col("sim") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "sim")
+        .select("id_a", "id_b", "sim")
     )

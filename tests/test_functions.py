@@ -672,7 +672,12 @@ def test_ann_scale_paths_recall_floor(spark):
         for r in brute_force_topk(e, q, k=5).collect()
     }
     assert recall(ivf_ann_topk(e, q, k=5, n_probe=4), exact) >= 0.5
-    assert recall(lsh_ann_topk(e, q, k=5), exact) >= 0.05
+    # 8 tables + Hamming-1 multiprobe (the defaults) measure 0.64 here —
+    # deterministic planes + fixture, so 0.5 is a falsifiable floor
+    # (VERDICT r03 #2: the old 0.05 floor passed for a broken operator)
+    assert recall(lsh_ann_topk(e, q, k=5), exact) >= 0.5
+    # exact-bucket probing must still work (and recalls strictly less)
+    assert recall(lsh_ann_topk(e, q, k=5, multiprobe=0), exact) >= 0.15
 
     # (b) planted clusters: 100 bases x 4 noisy copies, dim 64
     rng = np.random.default_rng(7)
@@ -692,3 +697,60 @@ def test_ann_scale_paths_recall_floor(spark):
     }
     assert recall(ivf_ann_topk(pe, pq, k=3, n_probe=4), pexact) >= 0.6
     assert recall(lsh_ann_topk(pe, pq, k=3), pexact) >= 0.6
+
+
+def test_embedding_neardup_bucketed_recall(spark):
+    """The bucketed embedding_neardup scale path (sign-LSH prefilter + exact
+    cosine verify) pinned against the exhaustive O(n²) pair set — VERDICT
+    r03 #1: this operator previously had zero verification.
+
+    Two regimes, both deterministic (fixed planes, fixed fixtures):
+    (a) sf0.01 embeddings at threshold 0.4 — near-random vectors, the hard
+        prefilter regime (per-bit collision p≈0.6): 8 tables measure 0.458;
+    (b) planted tight near-dups at the operator's intended threshold 0.95
+        (p≈0.97 per bit): default 4 tables measure recall 1.0.
+    Precision is 1.0 by construction (exact verify) — asserted too."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from heliport_spark.operators.similarity import cosine_expr, embedding_neardup
+
+    def exhaustive(df, th):
+        a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        return {
+            (r["id_a"], r["id_b"])
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("sim", F.round(cosine_expr(F.col("va"), F.col("vb")), 4))
+            .filter(F.col("sim") >= th)
+            .select("id_a", "id_b")
+            .collect()
+        }
+
+    # (a) hard regime: driver embeddings, low threshold
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = exhaustive(e, 0.4)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup(e, threshold=0.4, n_tables=8).collect()
+    }
+    assert got <= exact  # exact verify ⇒ no false positives
+    assert len(got & exact) / len(exact) >= 0.4
+
+    # (b) intended regime: tight planted near-dup pairs at threshold 0.95
+    rng = np.random.default_rng(13)
+    rows, vid = [], 0
+    for base in rng.standard_normal((150, 64)):
+        for _ in range(2):
+            v = base + 0.03 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    ne = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(8)
+    nexact = exhaustive(ne, 0.95)
+    ngot = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup(ne, threshold=0.95).collect()
+    }
+    assert len(nexact) >= 100  # the fixture genuinely plants near-dups
+    assert ngot <= nexact
+    assert len(ngot & nexact) / len(nexact) >= 0.95
