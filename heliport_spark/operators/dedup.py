@@ -500,7 +500,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 
 
 def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                 max_iters: int = 50) -> DataFrame:
+                 max_iters: int = 50,
+                 checkpoint_dir: "str | None" = None) -> DataFrame:
     """Connected components over near-duplicate PAIRS → one row per node:
     (id, cluster_id = min id in its component, is_canonical ∈ {0,1}).
     The missing last step of every dedup path: candidate pairs (MinHash /
@@ -517,7 +518,28 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     small-star [Kiveris et al. 2014] gives O(log n) rounds with the same
     per-round shape — not needed for near-dup graphs.)
 
+    Fault tolerance (VERDICT r03 #3): the default per-round lineage cut is
+    ``localCheckpoint`` — truncated lineage into NON-RELIABLE executor-local
+    block storage. Fine single-node / short jobs, but on a real cluster an
+    executor lost mid-loop makes its checkpointed blocks unrecoverable and
+    FAILS the job — and a 100 TB dedup is exactly the multi-hour,
+    executor-churn regime. Pass ``checkpoint_dir`` (an HDFS/S3/shared path)
+    to switch every cut to reliable ``df.checkpoint()``: blocks are written
+    to the directory, so recomputation after executor loss reads them back
+    instead of dying. Cost: one distributed write+read per round — the
+    standard price of iterative-algorithm fault tolerance. Checkpoint files
+    are left for the caller/cluster janitor to reap (Spark only auto-cleans
+    them with spark.cleaner.referenceTracking.cleanCheckpoints=true).
+
     Oracle-portable: min-reachable-label is a recursive CTE in DuckDB."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(
@@ -526,12 +548,11 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # materialize the edge list ONCE: every propagation round joins it, and
     # without the cut each round would re-run the whole upstream candidate
     # generation (LSH banding etc.) through the lazy lineage
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
+    edges = _cut(edges)
+    labels = _cut(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("lab", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     changed = 0
     for rnd in range(max_iters):
@@ -563,10 +584,7 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         u = parts[0]
         for extra in parts[1:]:
             u = u.union(extra)
-        new_labels = (
-            u.groupBy("id").agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)
-        )
+        new_labels = _cut(u.groupBy("id").agg(F.min("lab").alias("lab")))
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

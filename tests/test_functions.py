@@ -519,6 +519,35 @@ def test_dup_clusters_components(spark):
     assert len(deep) == 200 and all(v == 0 for v in deep.values())
 
 
+def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches the per-round lineage cut from
+    localCheckpoint (non-reliable executor-local blocks) to df.checkpoint()
+    on shared storage — VERDICT r03 #3: an executor lost mid-loop on a real
+    cluster must be able to re-read checkpointed blocks instead of failing
+    the multi-hour dedup job. Same labels as the default path, and the
+    checkpoint directory must actually receive data (proof the reliable
+    mechanism engaged, not a silent localCheckpoint fallback)."""
+    import os
+
+    from heliport_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (22, 20)]
+        + [(100 + i, 101 + i) for i in range(10)],  # >3 rounds: cuts repeat
+        "id_a bigint, id_b bigint",
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    base = {r["id"]: (r["cluster_id"], r["is_canonical"])
+            for r in dup_clusters(pairs).collect()}
+    rel = {r["id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dup_clusters(pairs, checkpoint_dir=ckpt).collect()}
+    assert rel == base
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "reliable checkpoint dir received no files"
+
+
 def test_temperature_resample_flattens_and_is_invariant(spark):
     """alpha<1 must flatten the skewed language mix (dominant language's
     share shrinks, rarest grows), quotas never exceed group sizes, and the
