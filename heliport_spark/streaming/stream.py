@@ -298,6 +298,150 @@ def streaming_minhash_candidates(
     )
 
 
+def salted_minhash_sig_expr(text):
+    """array<bigint> salted minhash signature (s0..s{H-1}) as a PURE
+    PROJECTION — the stream-safe twin of the batch estimator's
+    ``_minhash_wide_salted`` aggregate, from the SAME constants
+    (MINHASH_PARAMS length H, MERSENNE_P, 5-char shingles, per-function
+    md5 salt ``f"{i}|"``): a row gets the bit-identical signature in batch
+    and streaming. See _minhash_wide_salted for why the ESTIMATOR needs the
+    salted family (the cheap affine banding family is only 2-universal —
+    measured +0.12 Jaccard bias)."""
+    from ..operators.dedup import MERSENNE_P, MINHASH_PARAMS, h60, shingles_expr
+
+    sh = shingles_expr(text, 5)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda s: h60(F.concat(F.lit(f"{i}|"), s)) % F.lit(MERSENNE_P),
+                )
+            )
+            for i in range(len(MINHASH_PARAMS))
+        ]
+    )
+
+
+def streaming_minhash_verified(
+    clips_stream: DataFrame,
+    text_col: str = "transcript",
+    id_col: str = "clip_id",
+    max_ids_per_bucket: int = 8,
+    threshold: float = 0.5,
+    ttl_ms: "int | None" = None,
+):
+    """Streaming near-dup candidates WITH the minhash-estimate verify fused
+    in — the streaming twin of batch ``minhash_jaccard_estimate`` (VERDICT
+    r03 #4: candidates-only forced streaming users to drop to batch for
+    confirmed dups). Same shape as ``streaming_minhash_candidates``, but
+    each row also projects its SALTED signature (``salted_minhash_sig_expr``
+    — shared constants with the batch estimator), the bucket state stores
+    (id, signature) instead of id alone, and a pair is emitted only when the
+    Broder estimate clears ``threshold``: est = matching-function fraction,
+    thresholded as an exact integer count (⌈threshold·H⌉, no float compare —
+    bit-identical to the batch operator and its SQL oracle).
+
+    Output rows (id_a, id_b, est_jaccard@4dp), id_a < id_b; like the
+    candidates operator, a pair agreeing on several bands is emitted once
+    per band (global streaming distinct would need a second stateful stage;
+    every copy carries the same estimate, so downstream dedup is trivial).
+
+    Scale notes: per-key state is BOUNDED at ``max_ids_per_bucket``
+    (id, H-long signature) entries; the verify itself is O(H) per stored
+    neighbor with no extra shuffle or state stage — fused into the same
+    ``applyInPandasWithState`` pass; ``ttl_ms`` bounds state lifetime
+    exactly like the other stateful operators."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.dedup import MINHASH_PARAMS
+
+    H = len(MINHASH_PARAMS)
+    min_match = math.ceil(threshold * H)
+
+    out_schema = StructType(
+        [
+            StructField("id_a", StringType()),
+            StructField("id_b", StringType()),
+            StructField("est_jaccard", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(StringType())),
+            StructField("sigs", ArrayType(ArrayType(LongType()))),
+        ]
+    )
+
+    def pair_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            st_ids, st_sigs = state.get
+            ids = list(st_ids)
+            sigs = [list(s) for s in st_sigs]
+        else:
+            ids, sigs = [], []
+        out_a, out_b, out_e = [], [], []
+        for pdf in pdfs:
+            for new_id, new_sig in zip(pdf["id"], pdf["sig"]):
+                if new_id in ids:
+                    continue
+                # plain-int copy: the Arrow batch hands numpy.int64 values,
+                # which the state-store pickler cannot serialize
+                new_sig = [int(x) for x in new_sig]
+                for seen_id, seen_sig in zip(ids, sigs):
+                    m = sum(x == y for x, y in zip(new_sig, seen_sig))
+                    if m >= min_match:
+                        a, b = sorted((seen_id, new_id))
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_e.append(round(m / H, 4))
+                if len(ids) < max_ids_per_bucket:
+                    ids.append(new_id)
+                    sigs.append(new_sig)
+        state.update((ids, sigs))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "est_jaccard": out_e}
+            )
+
+    keyed = (
+        clips_stream.filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).cast("string").alias("id"),
+            shingle_hashes_expr(F.col(text_col)).alias("_hs"),
+            salted_minhash_sig_expr(F.col(text_col)).alias("sig"),
+        )
+        .select(
+            "id", "sig",
+            F.explode(band_keys_from_hashes(F.col("_hs"))).alias("bk"),
+        )
+        .select(
+            "id", "sig",
+            F.col("bk.band").alias("band"), F.col("bk.sig").alias("bsig"),
+        )
+    )
+    timeout = "NoTimeout" if ttl_ms is None else "ProcessingTimeTimeout"
+    return keyed.groupBy("band", "bsig").applyInPandasWithState(
+        pair_fn, out_schema, state_schema, "append", timeout
+    )
+
+
 def windowed_lang_counts(
     scored_stream: DataFrame,
     event_time_col: str = "event_time",

@@ -349,6 +349,78 @@ def test_streaming_minhash_candidates_match_batch(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_streaming_minhash_verified_matches_batch_estimate(spark):
+    """The fused streaming verify (VERDICT r03 #4) emits exactly the batch
+    ``minhash_jaccard_estimate`` output — same VERIFIED pairs, bit-equal
+    estimates — across a 2-batch split, closing the streaming loop that
+    previously stopped at candidates. Compared as a set of
+    (pair, est_jaccard): the stream emits one row per agreeing band, every
+    copy carrying the same estimate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from heliport_spark.operators.dedup import minhash_jaccard_estimate
+    from heliport_spark.streaming.stream import streaming_minhash_verified
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            F.col("doc_id").cast("string").alias("clip_id"),
+            F.col("text").alias("transcript"),
+        )
+    )
+    expect = {
+        (frozenset((str(r["id_a"]), str(r["id_b"]))), r["est_jaccard"])
+        for r in minhash_jaccard_estimate(
+            docs, text_col="transcript", id_col="clip_id"
+        ).collect()
+    }
+    assert expect  # fixture must actually produce verified pairs
+
+    base = tempfile.mkdtemp(prefix="hs_mhv_stream_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    try:
+        half_a = docs.filter(F.col("clip_id").cast("int") % 2 == 0)
+        half_b = docs.filter(F.col("clip_id").cast("int") % 2 == 1)
+        half_a.write.mode("overwrite").parquet(in_dir)
+        schema = StructType(
+            [
+                StructField("clip_id", StringType()),
+                StructField("transcript", StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 100)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming_minhash_verified(stream, max_ids_per_bucket=64)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            half_b.write.mode("append").parquet(in_dir)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (frozenset((r["id_a"], r["id_b"])), r["est_jaccard"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert got == expect
+        # the split genuinely exercised cross-batch state
+        assert any(
+            len({int(x) % 2 for x in p}) == 2 for p, _ in expect
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_windowed_lang_counts_plan(spark):
     # watermark + window aggregation compiles against a streaming source
     clips = golden_clips(spark).withColumn(
