@@ -50,6 +50,32 @@ def encode_pcm_s16le(wave: np.ndarray) -> bytes:
     return q.tobytes()
 
 
+def decode_by_codec(raw: bytes, codec: "str | None") -> "tuple[np.ndarray, int | None]":
+    """Dispatch decode on the clips table's ``codec`` metadata column →
+    (mono float32 waveform, container sample rate or None).
+
+    * ``wav`` → full RIFF parse (``decode_wav``); multi-channel audio is
+      mean-downmixed to mono for the stats path; the container's own sample
+      rate is returned (authoritative over drifted metadata).
+    * anything else (``pcm_s16le``/``pcm``/NULL) → raw PCM16 frames.
+
+    A malformed WAV container returns an EMPTY waveform instead of raising:
+    downstream stats stay at their zero/silent defaults, so the signal gate
+    flags and drops the row — a 10^12-clip job must not die on one corrupt
+    container, and "silent + 0 samples" is exactly the drop semantics the
+    gate already implements for empty audio."""
+    if codec is not None and str(codec).lower().startswith("wav"):
+        try:
+            wave, sr, ch = decode_wav(raw)
+        except ValueError:
+            return np.zeros(0, dtype=np.float32), None
+        if ch > 1:
+            wave = wave[: len(wave) - len(wave) % ch]
+            wave = wave.reshape(-1, ch).mean(axis=1).astype(np.float32)
+        return wave, sr
+    return decode_pcm_s16le(raw), None
+
+
 def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
     """Signal-to-noise ratio of ``test`` against ``reference`` in dB."""
     if len(reference) != len(test):
@@ -74,12 +100,21 @@ SILENCE_RMS = 0.01
 
 def audio_features_df(df: DataFrame, bytes_col: str = "bytes",
                       sr_col: str = "sr_hz",
-                      gate_col: "str | None" = None) -> DataFrame:
+                      gate_col: "str | None" = None,
+                      codec_col: "str | None" = "codec") -> DataFrame:
     """Append cheap waveform statistics (rms, peak, n_samples, clip_ratio,
-    silence_ratio) computed from the PCM column via Arrow batches. The bytes
-    column passes through untouched. ``silence_ratio`` is the fraction of
-    20 ms frames whose RMS falls below ``SILENCE_RMS`` — the VAD-lite input
-    to the signal keep/drop gate (audio_signal_flags).
+    silence_ratio) computed from the audio column via Arrow batches. The
+    bytes column passes through untouched. ``silence_ratio`` is the fraction
+    of 20 ms frames whose RMS falls below ``SILENCE_RMS`` — the VAD-lite
+    input to the signal keep/drop gate (audio_signal_flags).
+
+    ``codec_col`` (present by default on the clips schema) dispatches the
+    decode per row via ``decode_by_codec``: ``wav`` rows get the full RIFF
+    parse (mono downmix; the container's sample rate overrides drifted
+    metadata for silence framing), everything else is raw PCM16; a column
+    name that is absent from ``df`` is ignored (pure-PCM frames keep
+    working). Malformed WAV ⇒ zero-sample stats ⇒ the signal gate drops the
+    row instead of the job dying.
 
     ``gate_col`` (boolean): rows where it is false skip the decode entirely
     (stats stay at their zero/silent defaults) — lets the pipeline decode
@@ -106,19 +141,27 @@ def audio_features_df(df: DataFrame, bytes_col: str = "bytes",
             sil = np.ones(n, dtype=np.float32)  # empty/NULL audio = silent
             srs = pdf[sr_col].to_numpy() if sr_col in pdf else None
             gates = pdf[gate_col].to_numpy() if gate_col else None
+            codecs = (
+                pdf[codec_col].to_numpy()
+                if codec_col is not None and codec_col in pdf
+                else None
+            )
             for i, raw in enumerate(pdf[bytes_col]):
                 if gates is not None and not gates[i]:
                     continue
                 if raw is None or len(raw) == 0:
                     continue
-                w = decode_pcm_s16le(raw)
+                w, wav_sr = decode_by_codec(
+                    raw, codecs[i] if codecs is not None else None
+                )
                 ns[i] = len(w)
                 if len(w):
                     rms[i] = float(np.sqrt(np.mean(w.astype(np.float64) ** 2)))
                     peak[i] = float(np.max(np.abs(w)))
                     clip[i] = float(np.mean(np.abs(w) >= 32767.0 / 32768.0))
-                    # NULL sr_hz reaches pandas as NaN (truthy!) — guard it
-                    sr = (
+                    # container sr wins; NULL metadata sr_hz reaches pandas
+                    # as NaN (truthy!) — guard it
+                    sr = wav_sr or (
                         int(srs[i])
                         if srs is not None and not pd.isna(srs[i]) and srs[i]
                         else 16000

@@ -205,6 +205,51 @@ def test_audio_signal_flags(spark):
     assert all(not out[k]["keep_signal"] for k in ("silent", "clipped", "drift", "empty"))
 
 
+def test_audio_features_wav_codec_rows(spark):
+    """VERDICT r03 #8: a codec='wav' row flows through audio_features / the
+    signal gate — full RIFF parse, stats identical to the equivalent raw-PCM
+    row, stereo mean-downmixed, container sample rate authoritative for
+    silence framing, malformed container dropped by the gate (not a crash)."""
+    from heliport_spark.functions.audio import (
+        audio_features_df,
+        audio_signal_flags,
+        encode_pcm_s16le,
+        encode_wav,
+    )
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    mono = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    stereo = np.empty(2 * sr, dtype=np.float32)
+    stereo[0::2] = mono  # L
+    stereo[1::2] = mono  # R → downmix == mono
+    rows = [
+        ("pcm", encode_pcm_s16le(mono), sr, 1000, "pcm_s16le"),
+        ("wav", encode_wav(mono, sr), sr, 1000, "wav"),
+        ("wav_st", encode_wav(stereo, sr, channels=2), sr, 1000, "wav"),
+        ("wav_bad", b"RIFFgarbage-not-a-wave-file", sr, 1000, "wav"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
+    )
+    out = {
+        r["clip_id"]: r
+        for r in audio_signal_flags(audio_features_df(df)).collect()
+    }
+    # WAV row == PCM row stat-for-stat (same waveform, container stripped)
+    for col in ("n_samples", "rms", "peak", "clip_ratio", "silence_ratio"):
+        assert out["wav"][col] == out["pcm"][col], col
+    assert out["wav"]["keep_signal"] and out["wav"]["signal_flags"] == ""
+    # stereo mean-downmix: same per-frame content ⇒ same stats, 1 s of audio
+    assert out["wav_st"]["n_samples"] == sr
+    assert abs(out["wav_st"]["rms"] - out["pcm"]["rms"]) < 1e-4
+    assert out["wav_st"]["keep_signal"]
+    # malformed container: zero-sample stats ⇒ gate drops the ROW, job lives
+    assert out["wav_bad"]["n_samples"] == 0
+    assert not out["wav_bad"]["keep_signal"]
+    assert "no_audio" in out["wav_bad"]["signal_flags"]
+
+
 def test_audio_ops_survive_null_sr(spark):
     """A NULL sr_hz row (NaN in pandas — truthy!) must not crash the Arrow
     batch: features fall back to 16 kHz framing, chunking skips the row."""
