@@ -596,15 +596,82 @@ class Scorer:
         raw = np.where(valid, raw, PENALTY).astype(np.float32)
         return lang, score, raw
 
+    # ------------------------------------------------- independent word LM
+
+    def word_nll_batch(self, texts: "list[str]", winner_idx: np.ndarray) -> np.ndarray:
+        """Independent word-level LM score (the distinct D4 perplexity
+        signal — VERDICT r03 #6): mean −log10 P(word | winner language) over
+        the ORDER-0 (whole-word) model table only, OOV words at the 7.0
+        penalty, no character back-off.
+
+        Why it is independent of the langid score: the identify score is the
+        argmin over the char-backoff mixture, so ``10^raw`` was a monotone
+        re-expression of it — ``high_ppl`` could never fire without
+        ``lang_undetermined`` moving too. This signal fixes the language to
+        the winner and consults ONLY the word table: fluent-but-misspelled
+        text keeps a good char score (trigram soup still matches) while
+        every misspelled word is word-OOV → the signals separate (pinned in
+        tests/test_quality.py).
+
+        Rows with no tokens return PENALTY (C7 semantics). ``winner_idx``
+        is the PRE-collapse model language id (the argmin index) — exactly
+        the id space of the posting lists."""
+        n = len(texts)
+        out = np.full(n, np.float32(PENALTY), dtype=np.float32)
+        # reuses the batch-keyed _preprocess_core cache: called right after
+        # score_batch in identify_batch, preprocessing is free
+        cp, s_idx, e_idx, tok_text, bounds, _cjk, _valid = \
+            self._preprocess_core(texts)
+        if len(s_idx) == 0:
+            return out
+        tok_hash = _hash_spans(cp, s_idx, e_idx - s_idx + 1)
+        uniq_h, flat_ids = np.unique(tok_hash, return_inverse=True)
+        table = self.model.orders[0]
+        fi = table.lookup(uniq_h.astype(np.uint64, copy=False))
+        found = fi >= 0
+        if found.any():
+            plang, padj, bnd = self._flat_gather(table, fi[found])
+            fu = np.flatnonzero(found)
+            word_of_posting = np.repeat(fu, np.diff(bnd))
+            keys = word_of_posting * N_LANGS + plang
+            vals = padj.astype(np.float32) + np.float32(PENALTY)  # = pprob
+            order = np.argsort(keys, kind="stable")
+            keys = keys[order]
+            vals = vals[order]
+        else:
+            keys = np.empty(0, np.int64)
+            vals = _EMPTY_F32
+        occ_keys = flat_ids.astype(np.int64) * N_LANGS + winner_idx[tok_text]
+        if len(keys):
+            pos = np.minimum(np.searchsorted(keys, occ_keys), len(keys) - 1)
+            hit = keys[pos] == occ_keys
+            occ_val = np.where(hit, vals[pos], np.float32(PENALTY))
+        else:
+            occ_val = np.full(len(occ_keys), np.float32(PENALTY))
+        sums = np.bincount(tok_text, weights=occ_val.astype(np.float64), minlength=n)
+        cnt = np.diff(bounds)
+        nz = cnt > 0
+        out[nz] = (sums[nz] / cnt[nz]).astype(np.float32)
+        return out
+
     # ---------------------------------------------------------- public API
 
-    def identify_batch(self, texts, ignore_confidence: bool = False):
-        """→ (lang codes object[n], score f32[n], raw f32[n], cjk_pct f32[n])."""
-        points, valid, cjk_pct = self.score_batch(list(texts))
+    def identify_batch(self, texts, ignore_confidence: bool = False,
+                       with_word_nll: bool = False):
+        """→ (lang codes object[n], score f32[n], raw f32[n], cjk_pct f32[n]
+        [, word_nll f32[n] when ``with_word_nll``])."""
+        texts = list(texts)
+        points, valid, cjk_pct = self.score_batch(texts)
         lang, score, raw = self.pick_winner_batch(
             points, valid, self.model.confidence, ignore_confidence
         )
-        return LANGS_ARR[lang], score, raw, cjk_pct
+        if not with_word_nll:
+            return LANGS_ARR[lang], score, raw, cjk_pct
+        # pre-collapse argmin index (pick_winner returns the collapsed code)
+        wi = (N_LANGS - 1) - np.argmin(points[:, ::-1], axis=1)
+        wnll = self.word_nll_batch(texts, wi)
+        wnll = np.where(valid, wnll, np.float32(PENALTY)).astype(np.float32)
+        return LANGS_ARR[lang], score, raw, cjk_pct, wnll
 
     def identify(self, text: str, ignore_confidence: bool = False):
         """Single-text (lang, score) — mirrors Identifier::identify."""

@@ -67,9 +67,12 @@ def identify_df(
     with_ft: bool = False,
     prefix: str = "",
     langs: "list[str] | None" = None,
+    with_word_nll: bool = False,
 ) -> DataFrame:
     """Append langid columns: ``lang``, ``score``, ``raw_score``, ``cjk_pct``
-    (+ ``ft_lang``, ``ft_prob`` when ``with_ft``).
+    (+ ``ft_lang``, ``ft_prob`` when ``with_ft``; + ``word_nll`` — the
+    independent order-0 word-LM score, heli.py::word_nll_batch — when
+    ``with_word_nll``).
 
     ``score`` follows the reference CLI semantics
     (/root/reference/src/cli/identify.rs:43-46): confidence margin when
@@ -96,6 +99,8 @@ def identify_df(
             StructField("ft_lang", StringType()),
             StructField("ft_prob", FloatType()),
         ]
+    if with_word_nll:
+        fields += [StructField("word_nll", FloatType())]
     struct_type = StructType(fields)
 
     # `if langs` would collapse [] into None (full model) — the empty
@@ -106,7 +111,10 @@ def identify_df(
     def heli_udf(texts: pd.Series) -> pd.DataFrame:
         scorer = _get_worker_scorer(mdir, exact, langs_key)
         tl = ["" if t is None else str(t) for t in texts]
-        labels, score, raw, cjk = scorer.identify_batch(tl, ignore_confidence)
+        res = scorer.identify_batch(
+            tl, ignore_confidence, with_word_nll=with_word_nll
+        )
+        labels, score, raw, cjk = res[:4]
         out = pd.DataFrame(
             {"lang": labels, "score": score, "raw_score": raw, "cjk_pct": cjk}
         )
@@ -114,6 +122,8 @@ def identify_df(
             ft_lang, ft_prob = scorer.ft_identify_batch(tl)
             out["ft_lang"] = ft_lang
             out["ft_prob"] = ft_prob
+        if with_word_nll:
+            out["word_nll"] = res[4]
         return out
 
     tmp = "_heli_" + prefix

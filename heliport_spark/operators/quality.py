@@ -27,6 +27,16 @@ MAX_CHARS_PER_SEC = 100.0
 MAX_DIGIT_RATIO = 0.3
 MIN_ALPHA_RATIO = 0.4
 MAX_PPL = 10.0 ** 6.5     # raw HeLI score > 6.5 ⇒ essentially all-penalty
+# Independent word-LM gate (VERDICT r03 #6): mean −log10 P(word|winner) over
+# the ORDER-0 table only, OOV=7.0 — fires when ≳⅔ of the words are OOV for
+# the winner language. Calibrated on deterministic fixtures: corpus docs
+# measure ≤4.64, the worst fluent golden row (tso) 5.912, half-misspelled
+# English 6.05, fully garbled ≥6.69. NOT applied to majority-CJK rows:
+# CJK tokenizes to single chars, which the word model never contains
+# (wnll=7.0 on perfectly fluent cmn — the char n-gram score is the only
+# meaningful signal there, same >0.5 boundary the scorer's CJK override uses).
+MAX_WORD_NLL = 6.0
+MAX_WORD_PPL = 10.0 ** MAX_WORD_NLL
 MAX_REPETITION_RUN = 3
 
 
@@ -40,8 +50,15 @@ def rule_flags(
     ppl: Column,
     dur_ms: "Column | None" = None,
     ft_lang: "Column | None" = None,
+    word_ppl: "Column | None" = None,
+    cjk_pct: "Column | None" = None,
 ) -> Column:
-    """array<string> of fired heuristic rules (D5). Empty array = clean."""
+    """array<string> of fired heuristic rules (D5). Empty array = clean.
+
+    ``word_ppl`` (10^word_nll from the independent word-LM, see MAX_WORD_NLL
+    above) adds the ``high_word_ppl`` rule — the perplexity signal that can
+    fire on fluent-charscore/garbled-words text WITHOUT lang_undetermined
+    moving; gated off majority-CJK rows via ``cjk_pct``."""
     nc = T.n_chars(text)
     flags = [
         F.when(nc < MIN_CHARS, F.lit("too_short")),
@@ -71,6 +88,11 @@ def rule_flags(
                 F.lit("ft_disagree"),
             )
         )
+    if word_ppl is not None:
+        cond = word_ppl > MAX_WORD_PPL
+        if cjk_pct is not None:
+            cond = cond & (cjk_pct <= 0.5)
+        flags.append(F.when(cond, F.lit("high_word_ppl")))
     arr = F.array(*flags)
     return F.filter(arr, lambda x: x.isNotNull())
 
@@ -78,7 +100,7 @@ def rule_flags(
 # Rules that actually drop a clip (ft_disagree is advisory-only, D3).
 DROP_RULES = (
     "too_short", "too_long", "high_digit", "low_alpha", "repetition",
-    "lang_undetermined", "high_ppl", "rate_anomaly",
+    "lang_undetermined", "high_ppl", "high_word_ppl", "rate_anomaly",
 )
 
 

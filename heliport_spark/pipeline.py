@@ -49,8 +49,12 @@ def quality_filter(
     """clips → clips + (lang, confidence, keep, scrubbed_text, quality).
 
     ``quality`` is the diagnostic struct from the north_star:
-    struct<heli_score:float, ppl:float, rule_flags:array<string>,
-    scrub_spans:int, cjk_pct:float>.
+    struct<heli_score:float, ppl:float, word_ppl:float,
+    rule_flags:array<string>, scrub_spans:int, cjk_pct:float> —
+    ``word_ppl`` is the INDEPENDENT word-LM perplexity (order-0 table only,
+    heli.py::word_nll_batch) behind the ``high_word_ppl`` rule; ``ppl``
+    stays the char-backoff re-expression of the HeLI score (D4 notes in
+    operators/quality.py).
 
     ``with_signal_gate=True`` additionally decodes the PCM of rows that
     SURVIVED the transcript gate and ANDs the signal-level flags
@@ -59,15 +63,19 @@ def quality_filter(
     the cheap Catalyst-side rules. Off by default: the reference's keep
     decision (the F1 gate) is transcript-only."""
     scored = identify_df(
-        df, text_col=text_col, model_dir=model_dir, with_ft=with_ft, exact=exact
+        df, text_col=text_col, model_dir=model_dir, with_ft=with_ft,
+        exact=exact, with_word_nll=True,
     )
     ppl = perplexity(F.col("raw_score"))
+    word_ppl = F.pow(F.lit(10.0), F.col("word_nll").cast("double"))
     flags = rule_flags(
         F.col(text_col),
         F.col("lang"),
         ppl,
         dur_ms=F.col("dur_ms") if "dur_ms" in df.columns else None,
         ft_lang=F.col("ft_lang") if with_ft else None,
+        word_ppl=word_ppl,
+        cjk_pct=F.col("cjk_pct"),
     )
     # scrub_apply (not the inline scrub_expr twins): evaluates the dirty
     # gate once per row — measured 5× on the clean-heavy 800k-clip bench
@@ -102,12 +110,15 @@ def quality_filter(
         F.struct(
             F.col("raw_score").alias("heli_score"),
             F.col("ppl").cast("float").alias("ppl"),
+            F.pow(F.lit(10.0), F.col("word_nll").cast("double"))
+            .cast("float").alias("word_ppl"),
             F.col("rule_flags"),
             F.col("scrub_spans"),
             F.col("cjk_pct"),
         ),
     )
-    drop_cols = ["raw_score", "ppl", "scrub_spans", "rule_flags", "cjk_pct"]
+    drop_cols = ["raw_score", "ppl", "word_nll", "scrub_spans", "rule_flags",
+                 "cjk_pct"]
     if with_ft:
         drop_cols += ["ft_lang", "ft_prob"]
     return out.drop(*drop_cols).withColumnRenamed("score", "confidence")

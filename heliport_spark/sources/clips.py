@@ -192,6 +192,21 @@ def signal_adversarial_clips(spark: SparkSession,
     return spark.createDataFrame(rows, schema=CLIPS_SCHEMA)
 
 
+def make_clips(spark: SparkSession,
+               rows: "list[tuple[str, str]]") -> DataFrame:
+    """Tiny ad-hoc clips table from (clip_id, transcript) pairs — test
+    fixture helper; PCM/duration synthesized like golden_clips so the
+    rate-anomaly rule stays quiet."""
+    out = []
+    for i, (cid, s) in enumerate(rows):
+        dur = max(200, min(60_000, int(len(s) * 1000 / 15)))
+        raw = synth_pcm(i, dur_ms=dur)
+        out.append(
+            (cid, raw, 16000, len(raw) // 2 * 1000 // 16000, "pcm_s16le", s)
+        )
+    return spark.createDataFrame(out, schema=CLIPS_SCHEMA)
+
+
 def golden_clips(spark: SparkSession, start_id: int = 0) -> DataFrame:
     """Small driver-side DataFrame of the golden + adversarial corpus."""
     rows = []

@@ -51,6 +51,7 @@ def test_output_schema(filtered):
     assert q == {
         "heli_score": "float",
         "ppl": "float",
+        "word_ppl": "float",
         "rule_flags": "array<string>",
         "scrub_spans": "int",
         "cjk_pct": "float",
@@ -107,6 +108,49 @@ def test_f1_vs_reference_labels(spark, filtered, exact_scorer):
     assert tp > 0
     f1_proxy = acc  # label agreement bounds keep agreement here
     assert f1_proxy >= 0.99
+
+
+def test_word_ppl_is_independent_of_langid_score(spark):
+    """VERDICT r03 #6: the word-LM perplexity must be a SEPARATE signal from
+    the char-backoff score, not a re-exponentiation of it.
+
+    Fixture: fluent-but-misspelled English — char n-grams still say eng with
+    raw score < 6.5 (high_ppl silent, lang determined), but most words are
+    word-OOV for eng, so high_word_ppl fires ALONE. Clean English trips
+    neither. Fluent Chinese (every CJK token word-OOV by construction) is
+    exempt via the cjk_pct gate and keeps."""
+    from heliport_spark.sources.clips import make_clips
+
+    rows = [
+        ("clean", "hello world this is a perfectly normal english sentence "
+                  "about nothing in particular today"),
+        ("missp", "helo wrld thsi prefectly nromal enlgish setnence "
+                  "abuot nothnig partiuclar tdoay whatsoevr"),
+        ("cjk", "而目前各方都在追问到底谁应该为这场大疫情在中国的扩散承担责任。"),
+    ]
+    clips = make_clips(spark, rows)
+    out = {
+        r["clip_id"]: r
+        for r in quality_filter(clips, with_ft=False)
+        .select("clip_id", "lang", "keep", "quality.*")
+        .collect()
+    }
+    clean, missp, cjk = out["clean"], out["missp"], out["cjk"]
+    # clean: both signals quiet
+    assert clean["lang"] == "eng" and clean["keep"]
+    assert "high_word_ppl" not in clean["rule_flags"]
+    # misspelled: langid still confident-ish eng, char-ppl rule silent,
+    # word rule fires — the two signals SEPARATE
+    assert missp["lang"] == "eng"
+    assert "lang_undetermined" not in missp["rule_flags"]
+    assert "high_ppl" not in missp["rule_flags"]
+    assert "high_word_ppl" in missp["rule_flags"] and not missp["keep"]
+    # word signal clears its gate while the char signal sits under its own
+    assert missp["word_ppl"] > 10.0 ** 6.0
+    assert missp["ppl"] < 10.0 ** 6.5
+    # fluent CJK: word model can't see single-char tokens — exempt, kept
+    assert cjk["cjk_pct"] > 0.5 and "high_word_ppl" not in cjk["rule_flags"]
+    assert cjk["keep"]
 
 
 def test_golden_rows_exact_through_spark(spark):
