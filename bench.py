@@ -2,7 +2,10 @@
 """Benchmark harness (driver contract).
 
 Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] as
+$SPARK_GRAFT_BENCH_REPS INTERLEAVED full passes (per-query min across
+passes — back-to-back reps share one steal window on this noisy VM;
+interleaved samples land minutes apart), print ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., ...extras}
 
@@ -62,32 +65,38 @@ def run_bench() -> dict:
         warm_sf = SF_DIR
     qs["heli_identify_docs"](spark, warm_sf).count()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # INTERLEAVED min-of-N (VERDICT r03 #5): run the whole suite as R full
+    # passes and take each query's min ACROSS passes. Back-to-back reps of
+    # one query both land inside the same host-steal storm and min() can't
+    # reject it — round 3's audit burned time on 1.12-1.18x phantom drifts
+    # on unchanged queries for exactly this reason. Interleaving puts a
+    # query's samples minutes apart, so a burst poisons at most one of them.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
-    clips_per_sec = None
-    for name in HEADLINE:
-        best, n = None, 0
-        for _ in range(reps):  # min-of-N: shared-host CPU steal is bursty
-            t0 = time.time()
-            n = qs[name](spark, SF_DIR).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
-        if name == "quality_filter_clips":
-            # rows processed = clips table size (output == input rows)
-            clips_per_sec = round(n / best, 1)
-    # steady-state pipeline throughput on a materialized clips table
-    # (quality_filter_clips above includes fixture PCM synthesis; this one
-    # measures the pipeline itself, which is what a cluster would run)
+    rowcounts: dict[str, int] = {}
+    # steady-state pipeline input materialized up front (quality_filter_clips
+    # includes fixture PCM synthesis; pipeline_materialized measures the
+    # pipeline itself, which is what a cluster would run)
     path = ensure_scaling_clips(spark)
-    _timed_pipeline_run(spark, path)
-    best, nrows = None, 0
-    # headline metric: one extra rep — host steal storms last minutes and
-    # min-of-2 regularly lands inside one
-    for _ in range(max(reps, 3)):
+    _timed_pipeline_run(spark, path)  # warmup: JIT + python workers + mmap
+    for _ in range(reps):
+        for name in HEADLINE:
+            t0 = time.time()
+            rowcounts[name] = qs[name](spark, SF_DIR).count()
+            dt = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
         nrows, dt = _timed_pipeline_run(spark, path)
-        best = dt if best is None else min(best, dt)
-    times["pipeline_materialized"] = round(best, 3)
+        rowcounts["pipeline_materialized"] = nrows
+        dt = round(dt, 3)
+        times["pipeline_materialized"] = min(
+            times.get("pipeline_materialized", dt), dt
+        )
+    clips_per_sec = round(
+        rowcounts["quality_filter_clips"] / times["quality_filter_clips"], 1
+    )
+    nrows = rowcounts["pipeline_materialized"]
+    best = times["pipeline_materialized"]
+    times = {k: times[k] for k in (*HEADLINE, "pipeline_materialized")}
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_suite_total",
