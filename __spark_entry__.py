@@ -612,6 +612,20 @@ def _gopher_rules(spark, sf):
     return gopher_quality(_t(spark, sf, "documents"))
 
 
+# per-doc repetition gram width — ONE constant generates both engines
+# (bigrams: the synthetic small-vocab corpus genuinely repeats them)
+REP_N = 2
+
+
+def _doc_ngram_repetition(spark, sf):
+    """Within-doc duplicated n-gram fraction (Gopher repetition rules) —
+    oracle-exact per-doc quality signal, the per-doc twin of
+    boilerplate_spans."""
+    from heliport_spark.operators.corpus import ngram_repetition
+
+    return ngram_repetition(_t(spark, sf, "documents"), n=REP_N)
+
+
 # decontamination query params: every 11th doc is "benchmark", 4-gram
 # overlap — chosen so the sf0.01 fixture genuinely exercises the operator
 # (71 contaminated docs; 8-grams/sparser benchmarks matched zero rows)
@@ -736,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "quota_sample": _quota_sample,
         "temperature_resample": _temperature_resample,
+        "doc_ngram_repetition": _doc_ngram_repetition,
         # rows-only (no SQL oracle possible):
         "heli_identify_docs": _heli_identify_docs,
         "heli_topk_docs": _heli_topk_docs,
@@ -1193,6 +1208,25 @@ WITH r AS (
 )
 SELECT source, doc_id FROM r WHERE rk <= 5""",
         "temperature_resample": _temperature_resample_sql(),
+        "doc_ngram_repetition": f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, i::INT, i::INT + {REP_N - 1}), ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - {REP_N - 1}, 0))) AS i
+        FROM w)
+),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+r AS (SELECT doc_id, sum(c) AS total,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+      FROM c GROUP BY doc_id)
+SELECT d.doc_id,
+       round(coalesce(dup::DOUBLE / total, 0), 6) AS dup_ngram_frac,
+       coalesce(total, 0)::BIGINT AS n_grams
+FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""",
         "embedding_neardup": """
 WITH px AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    unnest(a.embedding)::DOUBLE AS ae,

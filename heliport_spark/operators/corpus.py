@@ -134,6 +134,39 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 8,
     )
 
 
+def ngram_repetition(df: DataFrame, n: int = 2, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document duplicated word-n-gram fraction — the WITHIN-doc
+    repetition signal of the Gopher repetition rules ([Rae et al. 2021]
+    §A1.1 "duplicate n-gram fraction"; the cross-doc twin is
+    dedup.duplicate_ngram_spans): of all word-n-gram occurrences in a doc,
+    the fraction belonging to grams occurring more than once in that doc.
+    Output one row per doc: (id_col, dup_ngram_frac@6dp, n_grams); docs
+    with fewer than ``n`` words have no grams → 0.0.
+
+    Scale shape: one codegen'd explode (word_ngrams_exploded) → (id, gram)
+    hash-agg with map-side combine → per-id sum — T1's shuffle shape, no
+    self-join; the doc-list left join restores gram-less docs at the cost
+    of the small id-only side."""
+    from ..functions.text import word_ngrams_exploded
+
+    grams = word_ngrams_exploded(df, n, text_col=text_col, id_col=id_col)
+    per = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    rep = per.groupBy("id").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(rep, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.round(
+            F.coalesce(F.col("dup").cast("double") / F.col("total"), F.lit(0.0)),
+            6,
+        ).alias("dup_ngram_frac"),
+        F.coalesce(F.col("total"), F.lit(0)).cast("bigint").alias("n_grams"),
+    )
+
+
 def quota_sample(df: DataFrame, k: int = 5, id_col: str = "doc_id",
                  group_cols: "tuple[str, ...]" = ("source",)) -> DataFrame:
     """Deterministic per-group quota sample: the k rows with the smallest

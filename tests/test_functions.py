@@ -593,6 +593,39 @@ def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
     assert written, "reliable checkpoint dir received no files"
 
 
+def test_ngram_repetition_per_doc(spark):
+    """Within-doc duplicated n-gram fraction: known hand counts, gram-less
+    docs (short/empty) emit 0.0 rows, partitioning-invariant."""
+    from heliport_spark.operators.corpus import ngram_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: ab,ba,ab,ba,ab → 5/5 duplicated
+            (2, "a b c d e"),     # 4 distinct bigrams → 0.0
+            (3, "x y z x y"),     # xy,yz,zx,xy → dup 2/4 = 0.5
+            (4, "single"),        # no bigrams
+            (5, ""),              # empty
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dup_ngram_frac"], r["n_grams"])
+        for r in ngram_repetition(docs, n=2).collect()
+    }
+    assert got == {
+        1: (1.0, 5),
+        2: (0.0, 4),
+        3: (0.5, 4),
+        4: (0.0, 0),
+        5: (0.0, 0),
+    }
+    b = {
+        r["doc_id"]: (r["dup_ngram_frac"], r["n_grams"])
+        for r in ngram_repetition(docs.repartition(7), n=2).collect()
+    }
+    assert b == got
+
+
 def test_temperature_resample_flattens_and_is_invariant(spark):
     """alpha<1 must flatten the skewed language mix (dominant language's
     share shrinks, rarest grows), quotas never exceed group sizes, and the
