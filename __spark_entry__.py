@@ -565,6 +565,46 @@ def _audio_loudness(spark, sf):
     )
 
 
+def _audio_resample(spark, sf):
+    """Sample-rate unification (ASR prep): every clip resampled to 8 kHz
+    (all synthetic clips are 16 kHz, so every row does real interpolation
+    work) — rows-only; correctness (length, tone preservation, passthrough)
+    is pinned in tests/test_functions.py::test_resample_audio_df."""
+    from heliport_spark.functions.audio import resample_audio_df
+    from heliport_spark.sources.clips import clips_from_documents
+
+    clips = clips_from_documents(spark, sf, with_golden=False, max_pcm_ms=500)
+    rs = resample_audio_df(clips, target_sr=8000)
+    return rs.groupBy("sr_rs").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_samples_rs").alias("total_samples_rs"),
+        F.sum(F.length("bytes_rs")).alias("total_bytes_rs"),
+    )
+
+
+def _audio_neardup(spark, sf):
+    """AUDIO near-duplicate pairs: acoustic embedding (time-mean log-mel)
+    composed with the multi-table embedding near-dup operator — the
+    engine's similarity machinery applied to the audio payload itself
+    (rows-only; the pairing behavior is pinned on planted fixtures in
+    tests/test_functions.py::test_audio_embedding_neardup_composition)."""
+    from heliport_spark.functions.audio import audio_embedding_df
+    from heliport_spark.sources.clips import clips_from_documents
+
+    clips = clips_from_documents(spark, sf, with_golden=False, max_pcm_ms=300)
+    # cap the pair explosion: the synthetic corpus is one 440 Hz tone family,
+    # so near-dup density is high by construction — 60 clips suffice to
+    # exercise embed → bucket → verify end-to-end
+    sub = clips.filter(F.col("clip_id") < "clip-000000000060")
+    emb = audio_embedding_df(sub).select("clip_id", "aemb")
+    from heliport_spark.operators.similarity import embedding_neardup
+
+    return embedding_neardup(
+        emb, threshold=0.999, id_col="clip_id", vec_col="aemb",
+        dim=16, n_planes=4,
+    )
+
+
 def _audio_mel(spark, sf):
     """REAL log-mel feature extraction (numpy STFT + Slaney filterbank) over
     the PCM column — rows-only (FFT is not ANSI-SQL-expressible)."""
@@ -760,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_signal_rules": _audio_signal_rules,
         "audio_loudness": _audio_loudness,
         "audio_chunks": _audio_chunks,
+        "audio_resample": _audio_resample,
+        "audio_neardup": _audio_neardup,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
         "embedding_neardup_lsh": _embedding_neardup_lsh,

@@ -186,6 +186,86 @@ def audio_features_df(df: DataFrame, bytes_col: str = "bytes",
     return df.mapInPandas(run, schema=out_schema)
 
 
+def resample_audio_df(df: DataFrame, target_sr: int = 16_000,
+                      bytes_col: str = "bytes", sr_col: str = "sr_hz",
+                      out_col: str = "bytes_rs") -> DataFrame:
+    """Resample every clip's PCM to ``target_sr`` (the sample-rate
+    unification step every ASR/audio-training pipeline runs before feature
+    extraction): decode → ``resample_linear`` → re-encode into a NEW column,
+    with the resampled rate/duration/sample-count emitted alongside. Clips
+    already at ``target_sr`` pass through BYTE-IDENTICAL (no decode/encode
+    round-trip drift); the source ``bytes`` column is untouched (passthrough
+    invariant). Arrow-batched mapInPandas, one pass, no shuffle."""
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(out_col, BinaryType()),
+            StructField("sr_rs", IntegerType()),
+            StructField("n_samples_rs", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs: "list[bytes | None]" = []
+            ns = np.zeros(len(pdf), dtype=np.int32)
+            srs = pdf[sr_col].to_numpy()
+            for i, raw in enumerate(pdf[bytes_col]):
+                sr = int(srs[i]) if not pd.isna(srs[i]) and srs[i] else 0
+                if raw is None or len(raw) == 0 or sr <= 0:
+                    outs.append(raw)
+                    continue
+                if sr == target_sr:
+                    outs.append(raw)
+                    ns[i] = len(raw) // 2
+                    continue
+                w = resample_linear(decode_pcm_s16le(raw), sr, target_sr)
+                outs.append(encode_pcm_s16le(w))
+                ns[i] = len(w)
+            pdf = pdf.copy(deep=False)
+            pdf[out_col] = outs
+            pdf["sr_rs"] = np.int32(target_sr)
+            pdf["n_samples_rs"] = ns
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_embedding_df(df: DataFrame, n_mels: int = 16,
+                       bytes_col: str = "bytes", sr_col: str = "sr_hz",
+                       out_col: str = "aemb") -> DataFrame:
+    """Append a fixed-size ACOUSTIC embedding per clip: the time-mean log-mel
+    energy vector (``array<float>``, length ``n_mels``) from the real
+    ``mel_features`` STFT path — a timbre signature that makes the engine's
+    embedding operators (brute_force_topk / lsh_ann_topk / embedding_neardup)
+    work on AUDIO content, not just text: near-identical recordings land at
+    cosine ≈ 1 regardless of length, different spectral content separates.
+    Empty/NULL audio → NULL embedding (the similarity ops already
+    NULL-propagate). Arrow-batched mapInPandas, one pass, no shuffle."""
+    from pyspark.sql.types import ArrayType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(FloatType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs: "list[list[float] | None]" = []
+            srs = pdf[sr_col].to_numpy()
+            for i, raw in enumerate(pdf[bytes_col]):
+                sr = int(srs[i]) if not pd.isna(srs[i]) and srs[i] else 16000
+                if raw is None or len(raw) == 0:
+                    outs.append(None)
+                    continue
+                mel = mel_features(decode_pcm_s16le(raw), sr, n_mels=n_mels)
+                outs.append([float(x) for x in mel.mean(axis=0)])
+            pdf = pdf.copy(deep=False)
+            pdf[out_col] = outs
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 # Loudness normalization: target RMS on the [-1,1) float scale and the gain
 # cap that keeps near-silence from being amplified into noise.
 TARGET_RMS = 0.1

@@ -250,6 +250,80 @@ def test_audio_features_wav_codec_rows(spark):
     assert "no_audio" in out["wav_bad"]["signal_flags"]
 
 
+def test_resample_audio_df(spark):
+    """Sample-rate unification: 8 kHz clip doubles its sample count at
+    16 kHz with the tone preserved (dominant FFT bin); already-at-target
+    clips pass through BYTE-IDENTICAL; NULL-sr rows pass through untouched;
+    source bytes column never modified."""
+    from heliport_spark.functions.audio import (
+        decode_pcm_s16le,
+        encode_pcm_s16le,
+        resample_audio_df,
+    )
+
+    def tone(sr, hz=440.0):
+        t = np.arange(sr, dtype=np.float64) / sr  # 1 second
+        return encode_pcm_s16le((0.3 * np.sin(2 * np.pi * hz * t)).astype(np.float32))
+
+    rows = [
+        ("low", tone(8000), 8000, 1000),
+        ("at_target", tone(16000), 16000, 1000),
+        ("nosr", tone(16000), None, 1000),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int"
+    )
+    out = {r["clip_id"]: r for r in resample_audio_df(df, 16000).collect()}
+    low = out["low"]
+    assert low["n_samples_rs"] == 16000 and low["sr_rs"] == 16000
+    w = decode_pcm_s16le(low["bytes_rs"])
+    dom = np.argmax(np.abs(np.fft.rfft(w.astype(np.float64))))
+    assert abs(dom - 440) <= 2  # 1 s of audio → bin index ≈ Hz
+    assert low["bytes"] == rows[0][1]  # source untouched
+    assert out["at_target"]["bytes_rs"] == rows[1][1]  # byte-identical
+    assert out["nosr"]["bytes_rs"] == rows[2][1]  # no sr → passthrough
+
+
+def test_audio_embedding_neardup_composition(spark):
+    """The acoustic embedding (time-mean log-mel) composed with the
+    embedding near-dup machinery finds AUDIO near-duplicates: noisy copies
+    of the same tone pair up (cosine ≈ 0.9998 measured), different spectral
+    content does not (cross ≈ 0.54); NULL audio → NULL embedding, no crash."""
+    from pyspark.sql import functions as F
+
+    from heliport_spark.functions.audio import audio_embedding_df, encode_pcm_s16le
+    from heliport_spark.operators.similarity import embedding_neardup
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    rng = np.random.default_rng(0)
+
+    def noisy(hz):
+        w = 0.3 * np.sin(2 * np.pi * hz * t) + 0.05 * rng.standard_normal(sr)
+        return encode_pcm_s16le(w.astype(np.float32))
+
+    rows = [
+        ("a1", noisy(440), sr), ("a2", noisy(440), sr), ("a3", noisy(440), sr),
+        ("b1", noisy(2000), sr), ("b2", noisy(2000), sr),
+        ("empty", b"", sr),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, sr_hz int")
+    emb = audio_embedding_df(df).select("clip_id", "aemb")
+    assert emb.filter(F.col("clip_id") == "empty").first()["aemb"] is None
+    pairs = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in embedding_neardup(
+            emb, threshold=0.99, id_col="clip_id", vec_col="aemb",
+            dim=16, n_planes=4,
+        ).collect()
+    }
+    want = {
+        frozenset(p)
+        for p in [("a1", "a2"), ("a1", "a3"), ("a2", "a3"), ("b1", "b2")]
+    }
+    assert pairs == want
+
+
 def test_audio_ops_survive_null_sr(spark):
     """A NULL sr_hz row (NaN in pandas — truthy!) must not crash the Arrow
     batch: features fall back to 16 kHz framing, chunking skips the row."""
