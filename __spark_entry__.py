@@ -652,6 +652,21 @@ def _gopher_rules(spark, sf):
     return gopher_quality(_t(spark, sf, "documents"))
 
 
+# token-budget sampling budget — ONE constant generates both engines
+TOKEN_BUDGET = 800
+
+
+def _token_budget_sample(spark, sf):
+    """Per-source token-budget fill (training mixtures are budgeted in
+    TOKENS, not docs): hash-ranked greedy admit until the cumulative token
+    count crosses the budget — deterministic, no RNG, oracle-exact."""
+    from heliport_spark.operators.corpus import token_budget_sample
+
+    return token_budget_sample(
+        _t(spark, sf, "documents"), budget_tokens=TOKEN_BUDGET
+    )
+
+
 # per-doc repetition gram width — ONE constant generates both engines
 # (bigrams: the synthetic small-vocab corpus genuinely repeats them)
 REP_N = 2
@@ -791,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": _quota_sample,
         "temperature_resample": _temperature_resample,
         "doc_ngram_repetition": _doc_ngram_repetition,
+        "token_budget_sample": _token_budget_sample,
         # rows-only (no SQL oracle possible):
         "heli_identify_docs": _heli_identify_docs,
         "heli_topk_docs": _heli_topk_docs,
@@ -1250,6 +1266,22 @@ WITH r AS (
 )
 SELECT source, doc_id FROM r WHERE rk <= 5""",
         "temperature_resample": _temperature_resample_sql(),
+        "token_budget_sample": f"""
+WITH t AS (
+  SELECT source, doc_id,
+         (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+               ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END)::BIGINT AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT source, doc_id, n_tokens FROM r WHERE cum_before < {TOKEN_BUDGET}""",
         "doc_ngram_repetition": f"""
 WITH w AS (
   SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks FROM documents

@@ -186,6 +186,47 @@ def quota_sample(df: DataFrame, k: int = 5, id_col: str = "doc_id",
     )
 
 
+def token_budget_sample(df: DataFrame, budget_tokens: int,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        group_cols: "tuple[str, ...]" = ("source",)) -> DataFrame:
+    """Per-group TOKEN-budget sampling: training mixtures are budgeted in
+    tokens, not documents (a doc-count quota over-weights short docs), so
+    each group admits docs in portable-hash order until the cumulative
+    token count reaches ``budget_tokens``. The doc that CROSSES the budget
+    is still admitted (its predecessors left head-room) — the standard
+    greedy fill; admission is by `cum_before < budget`, an exact integer
+    comparison.
+
+    Deterministic on any engine/run/partitioning (same md5-hash rank as
+    quota_sample, no RNG). Output (group_cols…, id_col, n_tokens).
+
+    Scale shape: one window shuffle (rank + running sum share the single
+    partitionBy(group) sort) — identical cost to quota_sample; token counts
+    are a pure projection."""
+    from pyspark.sql import Window
+
+    from ..functions.text import n_tokens
+    from .dedup import h60
+
+    h = h60(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+    cum_before = (
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+    )
+    return (
+        df.select(
+            *[F.col(g) for g in group_cols],
+            F.col(id_col),
+            n_tokens(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("cum_before", F.coalesce(cum_before, F.lit(0)))
+        .filter(F.col("cum_before") < budget_tokens)
+        .select(*group_cols, id_col, "n_tokens")
+    )
+
+
 # Temperature resampling (multilingual data mixing, XLM-R/mC4 style):
 # group g gets quota ∝ n_g^alpha. Weights are quantized to bigints
 # (round(sqrt(n)·1e6)) BEFORE the cross-group sum so the normalization and

@@ -700,6 +700,48 @@ def test_ngram_repetition_per_doc(spark):
     assert b == got
 
 
+def test_token_budget_sample(spark):
+    """Greedy token-budget fill: admission order is the portable hash rank,
+    the budget-crossing doc is admitted, everything after is not; per-group
+    independence; partitioning-invariant; budget ≥ group total admits all."""
+    from pyspark.sql import functions as F
+
+    from heliport_spark.operators.corpus import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, "g1", "w " * (i + 1)) for i in range(6)]       # 1..6 tokens
+        + [(10, "g2", "a b c"), (11, "g2", "d e")],
+        "doc_id bigint, source string, text string",
+    )
+    out = token_budget_sample(docs, budget_tokens=8).collect()
+    got = {(r["source"], r["doc_id"]): r["n_tokens"] for r in out}
+    # reconstruct the expected greedy fill from the same hash order
+    from heliport_spark.operators.dedup import h60
+
+    order = {
+        s: [r["doc_id"] for r in docs.filter(F.col("source") == s)
+            .select("doc_id", h60(F.col("doc_id").cast("string")).alias("h"))
+            .orderBy("h", "doc_id").collect()]
+        for s in ("g1", "g2")
+    }
+    toks = {i: i + 1 for i in range(6)} | {10: 3, 11: 2}
+    want = {}
+    for s, ids in order.items():
+        cum = 0
+        for d in ids:
+            if cum < 8:
+                want[(s, d)] = toks[d]
+            cum += toks[d]
+    assert got == want
+    # g2 total is 5 < 8 → the whole group admitted
+    assert {(s, d) for (s, d) in got if s == "g2"} == {("g2", 10), ("g2", 11)}
+    b = {
+        (r["source"], r["doc_id"]): r["n_tokens"]
+        for r in token_budget_sample(docs.repartition(7), budget_tokens=8).collect()
+    }
+    assert b == got
+
+
 def test_temperature_resample_flattens_and_is_invariant(spark):
     """alpha<1 must flatten the skewed language mix (dominant language's
     share shrinks, rarest grows), quotas never exceed group sizes, and the
