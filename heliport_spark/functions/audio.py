@@ -65,9 +65,14 @@ def decode_by_codec(raw: bytes, codec: "str | None") -> "tuple[np.ndarray, int |
     container, and "silent + 0 samples" is exactly the drop semantics the
     gate already implements for empty audio."""
     if codec is not None and str(codec).lower().startswith("wav"):
+        import struct
+
         try:
             wave, sr, ch = decode_wav(raw)
-        except ValueError:
+        except (ValueError, struct.error):
+            # struct.error: a chunk header declaring more bytes than the
+            # file holds (truncated container) — NOT a ValueError subclass,
+            # and it must not escape either (code-review r4 finding)
             return np.zeros(0, dtype=np.float32), None
         if ch > 1:
             wave = wave[: len(wave) - len(wave) % ch]
@@ -188,14 +193,23 @@ def audio_features_df(df: DataFrame, bytes_col: str = "bytes",
 
 def resample_audio_df(df: DataFrame, target_sr: int = 16_000,
                       bytes_col: str = "bytes", sr_col: str = "sr_hz",
+                      codec_col: "str | None" = "codec",
                       out_col: str = "bytes_rs") -> DataFrame:
-    """Resample every clip's PCM to ``target_sr`` (the sample-rate
-    unification step every ASR/audio-training pipeline runs before feature
-    extraction): decode → ``resample_linear`` → re-encode into a NEW column,
-    with the resampled rate/duration/sample-count emitted alongside. Clips
-    already at ``target_sr`` pass through BYTE-IDENTICAL (no decode/encode
-    round-trip drift); the source ``bytes`` column is untouched (passthrough
-    invariant). Arrow-batched mapInPandas, one pass, no shuffle."""
+    """Resample every clip to ``target_sr`` (the sample-rate unification
+    step every ASR/audio-training pipeline runs before feature extraction):
+    per-row codec dispatch (``decode_by_codec`` — WAV containers are parsed,
+    downmixed, and their OWN sample rate used) → ``resample_linear`` →
+    re-encode into a NEW column of RAW PCM s16le (wav rows lose their
+    container: ``bytes_rs`` is uniformly raw PCM at ``sr_rs`` — the point
+    of unification). Raw-PCM clips already at ``target_sr`` pass through
+    BYTE-IDENTICAL (no decode/encode round-trip drift).
+
+    Rows that CANNOT be resampled (NULL/empty audio, unknown rate,
+    malformed container) pass their bytes through with ``sr_rs`` NULL —
+    never a false target_sr claim on audio that kept its original rate
+    (code-review r4 finding). The source ``bytes`` column is untouched
+    (passthrough invariant). Arrow-batched mapInPandas, one pass,
+    no shuffle."""
     out_schema = StructType(
         list(df.schema.fields)
         + [
@@ -209,22 +223,41 @@ def resample_audio_df(df: DataFrame, target_sr: int = 16_000,
         for pdf in batches:
             outs: "list[bytes | None]" = []
             ns = np.zeros(len(pdf), dtype=np.int32)
+            sr_out: "list[int | None]" = []
             srs = pdf[sr_col].to_numpy()
+            codecs = (
+                pdf[codec_col].to_numpy()
+                if codec_col is not None and codec_col in pdf
+                else None
+            )
             for i, raw in enumerate(pdf[bytes_col]):
-                sr = int(srs[i]) if not pd.isna(srs[i]) and srs[i] else 0
-                if raw is None or len(raw) == 0 or sr <= 0:
+                meta_sr = int(srs[i]) if not pd.isna(srs[i]) and srs[i] else 0
+                codec = codecs[i] if codecs is not None else None
+                is_wav = codec is not None and str(codec).lower().startswith("wav")
+                if raw is None or len(raw) == 0:
                     outs.append(raw)
+                    sr_out.append(None)
                     continue
-                if sr == target_sr:
-                    outs.append(raw)
+                if not is_wav and meta_sr == target_sr:
+                    outs.append(raw)  # raw PCM already at target: bit-exact
                     ns[i] = len(raw) // 2
+                    sr_out.append(target_sr)
                     continue
-                w = resample_linear(decode_pcm_s16le(raw), sr, target_sr)
+                w, wav_sr = decode_by_codec(raw, codec)
+                sr = wav_sr or meta_sr
+                if sr <= 0 or len(w) == 0:
+                    # unknown rate / malformed container: passthrough with
+                    # NULL sr_rs — no false claim of target-rate audio
+                    outs.append(raw)
+                    sr_out.append(None)
+                    continue
+                w = resample_linear(w, sr, target_sr)
                 outs.append(encode_pcm_s16le(w))
                 ns[i] = len(w)
+                sr_out.append(target_sr)
             pdf = pdf.copy(deep=False)
             pdf[out_col] = outs
-            pdf["sr_rs"] = np.int32(target_sr)
+            pdf["sr_rs"] = pd.array(sr_out, dtype="Int32")
             pdf["n_samples_rs"] = ns
             yield pdf
 
@@ -233,6 +266,7 @@ def resample_audio_df(df: DataFrame, target_sr: int = 16_000,
 
 def audio_embedding_df(df: DataFrame, n_mels: int = 16,
                        bytes_col: str = "bytes", sr_col: str = "sr_hz",
+                       codec_col: "str | None" = "codec",
                        out_col: str = "aemb") -> DataFrame:
     """Append a fixed-size ACOUSTIC embedding per clip: the time-mean log-mel
     energy vector (``array<float>``, length ``n_mels``) from the real
@@ -240,8 +274,10 @@ def audio_embedding_df(df: DataFrame, n_mels: int = 16,
     embedding operators (brute_force_topk / lsh_ann_topk / embedding_neardup)
     work on AUDIO content, not just text: near-identical recordings land at
     cosine ≈ 1 regardless of length, different spectral content separates.
-    Empty/NULL audio → NULL embedding (the similarity ops already
-    NULL-propagate). Arrow-batched mapInPandas, one pass, no shuffle."""
+    Per-row codec dispatch via ``decode_by_codec`` (WAV parsed/downmixed,
+    container sr authoritative); empty/NULL/malformed audio → NULL embedding
+    (the similarity ops already NULL-propagate). Arrow-batched mapInPandas,
+    one pass, no shuffle."""
     from pyspark.sql.types import ArrayType
 
     out_schema = StructType(
@@ -252,12 +288,25 @@ def audio_embedding_df(df: DataFrame, n_mels: int = 16,
         for pdf in batches:
             outs: "list[list[float] | None]" = []
             srs = pdf[sr_col].to_numpy()
+            codecs = (
+                pdf[codec_col].to_numpy()
+                if codec_col is not None and codec_col in pdf
+                else None
+            )
             for i, raw in enumerate(pdf[bytes_col]):
-                sr = int(srs[i]) if not pd.isna(srs[i]) and srs[i] else 16000
                 if raw is None or len(raw) == 0:
                     outs.append(None)
                     continue
-                mel = mel_features(decode_pcm_s16le(raw), sr, n_mels=n_mels)
+                w, wav_sr = decode_by_codec(
+                    raw, codecs[i] if codecs is not None else None
+                )
+                sr = wav_sr or (
+                    int(srs[i]) if not pd.isna(srs[i]) and srs[i] else 16000
+                )
+                if len(w) == 0:  # malformed container
+                    outs.append(None)
+                    continue
+                mel = mel_features(w, sr, n_mels=n_mels)
                 outs.append([float(x) for x in mel.mean(axis=0)])
             pdf = pdf.copy(deep=False)
             pdf[out_col] = outs

@@ -576,7 +576,9 @@ class Scorer:
     @staticmethod
     def pick_winner_batch(points: np.ndarray, valid: np.ndarray,
                           confidence: np.ndarray, ignore_confidence: bool = False):
-        """C4+C5 vectorized → (lang_idx i64[n], score f32[n], raw f32[n]).
+        """C4+C5 vectorized → (lang_idx i64[n], score f32[n], raw f32[n],
+        winner_idx i64[n] — the PRE-collapse argmin index, the id space the
+        word-model posting lists use).
 
         Reference scan keeps the *last* index achieving the running min
         (``points <= score``, identifier.rs:62-68) ⇒ reversed argmin.
@@ -601,7 +603,7 @@ class Scorer:
         lang = np.where(valid, lang, ZXX)
         score = np.where(valid, score, PENALTY).astype(np.float32)
         raw = np.where(valid, raw, PENALTY).astype(np.float32)
-        return lang, score, raw
+        return lang, score, raw, wi
 
     # ------------------------------------------------- independent word LM
 
@@ -690,13 +692,11 @@ class Scorer:
         [, word_nll f32[n] when ``with_word_nll``])."""
         texts = list(texts)
         points, valid, cjk_pct = self.score_batch(texts)
-        lang, score, raw = self.pick_winner_batch(
+        lang, score, raw, wi = self.pick_winner_batch(
             points, valid, self.model.confidence, ignore_confidence
         )
         if not with_word_nll:
             return LANGS_ARR[lang], score, raw, cjk_pct
-        # pre-collapse argmin index (pick_winner returns the collapsed code)
-        wi = (N_LANGS - 1) - np.argmin(points[:, ::-1], axis=1)
         wnll = self.word_nll_batch(texts, wi)
         wnll = np.where(valid, wnll, np.float32(PENALTY)).astype(np.float32)
         return LANGS_ARR[lang], score, raw, cjk_pct, wnll

@@ -532,8 +532,17 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     them with spark.cleaner.referenceTracking.cleanCheckpoints=true).
 
     Oracle-portable: min-reachable-label is a recursive CTE in DuckDB."""
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = pairs.sparkSession.sparkContext
+        # setCheckpointDir mutates GLOBAL SparkContext state: remember the
+        # caller's directory so it can be restored on exit (code-review r4
+        # finding — an app that already points df.checkpoint() at shared
+        # prod storage must not be silently redirected here). If none was
+        # set, ours remains (the API has no unset) — documented behavior.
+        opt = sc._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = opt.get() if opt.isDefined() else None
+        sc.setCheckpointDir(checkpoint_dir)
 
     def _cut(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
@@ -548,75 +557,81 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # materialize the edge list ONCE: every propagation round joins it, and
     # without the cut each round would re-run the whole upstream candidate
     # generation (LSH banding etc.) through the lazy lineage
-    edges = _cut(edges)
-    labels = _cut(
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("lab", F.col("id"))
-    )
-    changed = 0
-    for rnd in range(max_iters):
-        parts = [labels]
-        prop = edges.join(
-            labels.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "lab")
-        parts.append(prop)
-        if rnd >= 3:
-            # still unconverged after 3 plain rounds ⇒ long-diameter
-            # component: add pointer jumping (adopt the label OF my current
-            # label, lab[lab[id]]) so labels spread along 2^k-hop paths and
-            # the loop closes in O(log diameter) further rounds. Not done
-            # from round 0: typical near-dup graphs converge in ≤3 plain
-            # rounds and the extra self-join would be pure overhead there.
-            # (lab is always a node of the same component, so the min stays
-            # within-component and the fixpoint is unchanged.)
-            jmp = (
-                labels.alias("x")
-                .join(
-                    labels.select(
-                        F.col("id").alias("jid"), F.col("lab").alias("jlab")
-                    ),
-                    F.col("x.lab") == F.col("jid"),
+    try:
+        edges = _cut(edges)
+        labels = _cut(
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("lab", F.col("id"))
+        )
+        changed = 0
+        for rnd in range(max_iters):
+            parts = [labels]
+            prop = edges.join(
+                labels.withColumnRenamed("id", "src"), "src"
+            ).select(F.col("dst").alias("id"), "lab")
+            parts.append(prop)
+            if rnd >= 3:
+                # still unconverged after 3 plain rounds ⇒ long-diameter
+                # component: add pointer jumping (adopt the label OF my
+                # current label, lab[lab[id]]) so labels spread along
+                # 2^k-hop paths and the loop closes in O(log diameter)
+                # further rounds. Not done from round 0: typical near-dup
+                # graphs converge in ≤3 plain rounds and the extra
+                # self-join would be pure overhead there. (lab is always a
+                # node of the same component, so the min stays
+                # within-component and the fixpoint is unchanged.)
+                jmp = (
+                    labels.alias("x")
+                    .join(
+                        labels.select(
+                            F.col("id").alias("jid"), F.col("lab").alias("jlab")
+                        ),
+                        F.col("x.lab") == F.col("jid"),
+                    )
+                    .select(F.col("x.id").alias("id"), F.col("jlab").alias("lab"))
                 )
-                .select(F.col("x.id").alias("id"), F.col("jlab").alias("lab"))
+                parts.append(jmp)
+            u = parts[0]
+            for extra in parts[1:]:
+                u = u.union(extra)
+            new_labels = _cut(u.groupBy("id").agg(F.min("lab").alias("lab")))
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.lab") != F.col("o.lab"))
+                .count()
             )
-            parts.append(jmp)
-        u = parts[0]
-        for extra in parts[1:]:
-            u = u.union(extra)
-        new_labels = _cut(u.groupBy("id").agg(F.min("lab").alias("lab")))
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
+            # free the superseded round's checkpoint blocks now instead of
+            # waiting for driver GC + ContextCleaner (otherwise up to
+            # max_iters copies of the label table stay pinned in executor
+            # storage); toRdd() is the checkpointed RDD for a
+            # localCheckpoint'd frame — best-effort, semantics don't
+            # depend on it
+            try:
+                labels._jdf.queryExecution().toRdd().unpersist(False)
+            except Exception:
+                pass
+            labels = new_labels
+            if changed == 0:
+                break
+        if changed != 0:
+            # partially-propagated labels are silently WRONG cluster ids —
+            # fail loudly instead (a component with diameter > max_iters
+            # means the pair graph is not near-dup-shaped; raise max_iters
+            # or switch to a large-star/small-star O(log n) scheme)
+            raise RuntimeError(
+                f"dup_clusters did not converge in {max_iters} rounds "
+                f"({changed} labels still changing)"
+            )
+        return labels.select(
+            "id",
+            F.col("lab").alias("cluster_id"),
+            (F.col("id") == F.col("lab")).cast("int").alias("is_canonical"),
         )
-        # free the superseded round's checkpoint blocks now instead of
-        # waiting for driver GC + ContextCleaner (otherwise up to max_iters
-        # copies of the label table stay pinned in executor storage);
-        # toRdd() is the checkpointed RDD for a localCheckpoint'd frame —
-        # best-effort, semantics don't depend on it
-        try:
-            labels._jdf.queryExecution().toRdd().unpersist(False)
-        except Exception:
-            pass
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
-        # partially-propagated labels are silently WRONG cluster ids — fail
-        # loudly instead (a component with diameter > max_iters means the
-        # pair graph is not near-dup-shaped; raise max_iters or switch to a
-        # large-star/small-star O(log n) scheme)
-        raise RuntimeError(
-            f"dup_clusters did not converge in {max_iters} rounds "
-            f"({changed} labels still changing)"
-        )
-    return labels.select(
-        "id",
-        F.col("lab").alias("cluster_id"),
-        (F.col("id") == F.col("lab")).cast("int").alias("is_canonical"),
-    )
+    finally:
+        if prev_ckpt_dir is not None:
+            pairs.sparkSession.sparkContext.setCheckpointDir(prev_ckpt_dir)
 
 
 def simhash_sql_cte(bits: int = SIMHASH_BITS) -> str:

@@ -110,8 +110,7 @@ def quality_filter(
         F.struct(
             F.col("raw_score").alias("heli_score"),
             F.col("ppl").cast("float").alias("ppl"),
-            F.pow(F.lit(10.0), F.col("word_nll").cast("double"))
-            .cast("float").alias("word_ppl"),
+            word_ppl.cast("float").alias("word_ppl"),
             F.col("rule_flags"),
             F.col("scrub_spans"),
             F.col("cjk_pct"),

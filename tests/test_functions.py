@@ -228,6 +228,12 @@ def test_audio_features_wav_codec_rows(spark):
         ("wav", encode_wav(mono, sr), sr, 1000, "wav"),
         ("wav_st", encode_wav(stereo, sr, channels=2), sr, 1000, "wav"),
         ("wav_bad", b"RIFFgarbage-not-a-wave-file", sr, 1000, "wav"),
+        # chunk header declares a 16-byte fmt body but the file ends —
+        # struct.error (NOT a ValueError) must also be contained
+        ("wav_trunc",
+         b"RIFF" + (20).to_bytes(4, "little") + b"WAVE"
+         + b"fmt " + (16).to_bytes(4, "little") + b"\x01\x00",
+         sr, 1000, "wav"),
     ]
     df = spark.createDataFrame(
         rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
@@ -245,9 +251,10 @@ def test_audio_features_wav_codec_rows(spark):
     assert abs(out["wav_st"]["rms"] - out["pcm"]["rms"]) < 1e-4
     assert out["wav_st"]["keep_signal"]
     # malformed container: zero-sample stats ⇒ gate drops the ROW, job lives
-    assert out["wav_bad"]["n_samples"] == 0
-    assert not out["wav_bad"]["keep_signal"]
-    assert "no_audio" in out["wav_bad"]["signal_flags"]
+    for bad in ("wav_bad", "wav_trunc"):
+        assert out[bad]["n_samples"] == 0
+        assert not out[bad]["keep_signal"]
+        assert "no_audio" in out[bad]["signal_flags"]
 
 
 def test_resample_audio_df(spark):
@@ -265,13 +272,23 @@ def test_resample_audio_df(spark):
         t = np.arange(sr, dtype=np.float64) / sr  # 1 second
         return encode_pcm_s16le((0.3 * np.sin(2 * np.pi * hz * t)).astype(np.float32))
 
+    from heliport_spark.functions.audio import encode_wav
+
+    wav8 = encode_wav(
+        (0.3 * np.sin(2 * np.pi * 440.0 * np.arange(8000) / 8000)).astype(np.float32),
+        8000,
+    )
     rows = [
-        ("low", tone(8000), 8000, 1000),
-        ("at_target", tone(16000), 16000, 1000),
-        ("nosr", tone(16000), None, 1000),
+        ("low", tone(8000), 8000, 1000, "pcm_s16le"),
+        ("at_target", tone(16000), 16000, 1000, "pcm_s16le"),
+        ("nosr", tone(16000), None, 1000, "pcm_s16le"),
+        # WAV container: its OWN 8 kHz rate is used (metadata says 16k!),
+        # and the output is RAW PCM at target (container stripped)
+        ("wav8", wav8, 16000, 1000, "wav"),
+        ("wav_bad", b"RIFFgarbage-not-a-wave", 16000, 1000, "wav"),
     ]
     df = spark.createDataFrame(
-        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int"
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
     )
     out = {r["clip_id"]: r for r in resample_audio_df(df, 16000).collect()}
     low = out["low"]
@@ -281,7 +298,20 @@ def test_resample_audio_df(spark):
     assert abs(dom - 440) <= 2  # 1 s of audio → bin index ≈ Hz
     assert low["bytes"] == rows[0][1]  # source untouched
     assert out["at_target"]["bytes_rs"] == rows[1][1]  # byte-identical
-    assert out["nosr"]["bytes_rs"] == rows[2][1]  # no sr → passthrough
+    # unknown rate: passthrough, and sr_rs must NOT claim the target rate
+    assert out["nosr"]["bytes_rs"] == rows[2][1]
+    assert out["nosr"]["sr_rs"] is None
+    # WAV: container's 8 kHz wins over the drifted 16 kHz metadata → real
+    # resample work, raw-PCM output at target
+    wv = out["wav8"]
+    assert wv["sr_rs"] == 16000 and wv["n_samples_rs"] == 16000
+    domw = np.argmax(
+        np.abs(np.fft.rfft(decode_pcm_s16le(wv["bytes_rs"]).astype(np.float64)))
+    )
+    assert abs(domw - 440) <= 2
+    # malformed container: passthrough bytes, NULL sr_rs, job alive
+    assert out["wav_bad"]["bytes_rs"] == rows[4][1]
+    assert out["wav_bad"]["sr_rs"] is None
 
 
 def test_audio_embedding_neardup_composition(spark):
@@ -658,9 +688,15 @@ def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
     ckpt = str(tmp_path / "cc_ckpt")
     base = {r["id"]: (r["cluster_id"], r["is_canonical"])
             for r in dup_clusters(pairs).collect()}
+    # a caller's pre-existing checkpoint dir must be RESTORED afterwards
+    # (setCheckpointDir is global SparkContext state — code-review r4)
+    caller_dir = str(tmp_path / "caller_ckpt")
+    spark.sparkContext.setCheckpointDir(caller_dir)
     rel = {r["id"]: (r["cluster_id"], r["is_canonical"])
            for r in dup_clusters(pairs, checkpoint_dir=ckpt).collect()}
     assert rel == base
+    restored = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert restored.isDefined() and caller_dir in restored.get()
     written = [
         os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
     ]
