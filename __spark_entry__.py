@@ -667,6 +667,43 @@ def _token_budget_sample(spark, sf):
     )
 
 
+def _curate_corpus(spark, sf):
+    """END-TO-END corpus curation — the full path a training-data team runs,
+    composed from the already-oracle-exact stages and their SHARED constants:
+    (1) near-dup removal: simhash pairs → connected components → drop
+        non-canonical members (dedup_materialize's chain);
+    (2) benchmark decontamination: drop survivors sharing any DECON_N-gram
+        with the held-out benchmark subset (doc_id % DECON_MOD == 0);
+    (3) Gopher quality gate (gopher_keep_expr — same predicate as
+        gopher_rules);
+    (4) per-language temperature resampling of what remains.
+    Output (lang, doc_id) — oracle-exact: the DuckDB twin chains the SAME
+    CTE blocks each standalone oracle uses."""
+    from heliport_spark.operators.corpus import (
+        decontaminate,
+        gopher_keep_expr,
+        temperature_resample,
+    )
+    from heliport_spark.operators.dedup import dup_clusters, simhash_pairs
+
+    d = _docs_repart(spark, sf)
+    losers = (
+        dup_clusters(simhash_pairs(d))
+        .filter(F.col("is_canonical") == 0)
+        .select(F.col("id").alias("doc_id"))
+    )
+    surv = d.join(losers, "doc_id", "left_anti")
+    bench = surv.filter(F.col("doc_id") % DECON_MOD == 0)
+    corpus = surv.filter(F.col("doc_id") % DECON_MOD != 0)
+    contaminated = decontaminate(corpus, bench, n=DECON_N).select(
+        F.col("id").alias("doc_id")
+    )
+    clean = corpus.join(contaminated, "doc_id", "left_anti").filter(
+        gopher_keep_expr(F.col("text"))
+    )
+    return temperature_resample(clean)
+
+
 # per-doc repetition gram width — ONE constant generates both engines
 # (bigrams: the synthetic small-vocab corpus genuinely repeats them)
 REP_N = 2
@@ -723,15 +760,19 @@ def _temperature_resample(spark, sf):
     return temperature_resample(_t(spark, sf, "documents"))
 
 
-def _temperature_resample_sql() -> str:
+def _temperature_resample_sql(src: str = "documents",
+                              with_kw: str = "WITH") -> str:
     """DuckDB twin of operators/corpus.py::temperature_resample — generated
     from the SAME constants (TEMP_TOTAL, TEMP_WEIGHT_SCALE; alpha=0.5 via
     IEEE sqrt, weights quantized to bigint BEFORE the exact integer
-    normalization so no float-sum ordering can flip a floor)."""
+    normalization so no float-sum ordering can flip a floor). ``src``
+    parameterizes the source relation so the curate_corpus composition can
+    resample ITS survivors with the identical quota math; ``with_kw``
+    lets a caller splice these CTEs into an existing WITH chain."""
     from heliport_spark.operators.corpus import TEMP_TOTAL, TEMP_WEIGHT_SCALE
 
     return f"""
-WITH rows_ AS (SELECT lang AS g, doc_id AS id FROM documents),
+{with_kw} rows_ AS (SELECT lang AS g, doc_id AS id FROM {src}),
 c AS (SELECT g, count(*) AS n FROM rows_ GROUP BY g),
 cw AS (SELECT g, n,
               CAST(round(sqrt(n::DOUBLE) * {TEMP_WEIGHT_SCALE}) AS BIGINT) AS wq
@@ -807,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": _temperature_resample,
         "doc_ngram_repetition": _doc_ngram_repetition,
         "token_budget_sample": _token_budget_sample,
+        "curate_corpus": _curate_corpus,
         # rows-only (no SQL oracle possible):
         "heli_identify_docs": _heli_identify_docs,
         "heli_topk_docs": _heli_topk_docs,
@@ -1266,6 +1308,44 @@ WITH r AS (
 )
 SELECT source, doc_id FROM r WHERE rk <= 5""",
         "temperature_resample": _temperature_resample_sql(),
+        # end-to-end curation: the SAME graph block (walk), decon gram CTEs,
+        # gopher predicate, and temperature-resample CTEs the standalone
+        # oracles use, chained. CTE names chosen to avoid the temperature
+        # block's rows_/c/cw/t/r.
+        "curate_corpus": _sh_component_cte + f""",
+losers AS (SELECT id FROM walk GROUP BY id HAVING id <> min(lab)),
+surv AS (SELECT * FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM losers)),
+svb AS (SELECT * FROM surv WHERE doc_id % {DECON_MOD} = 0),
+svc AS (SELECT * FROM surv WHERE doc_id % {DECON_MOD} <> 0),
+dtk AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks FROM svc),
+dgr AS (SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, i::INT, i::INT + {DECON_N - 1}), ' ') AS gram
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, greatest(len(toks) - {DECON_N - 1}, 0))) AS i
+              FROM dtk)),
+btk AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks FROM svb),
+bgr AS (SELECT DISTINCT
+               array_to_string(list_slice(toks, i::INT, i::INT + {DECON_N - 1}), ' ') AS gram
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, greatest(len(toks) - {DECON_N - 1}, 0))) AS i
+              FROM btk)),
+cont AS (SELECT DISTINCT dgr.doc_id FROM dgr JOIN bgr USING (gram)),
+clean AS (
+  SELECT * FROM svc
+  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+    AND (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+              ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END)
+        BETWEEN {_g["minw"]} AND {_g["maxw"]}
+    AND (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0.0
+              ELSE length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                   / len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END)
+        BETWEEN {_g["minl"]} AND {_g["maxl"]}
+    AND (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE
+           len(list_filter(string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
+                           x -> list_contains([{stop_list}], x))) END)
+        >= {_g["minsh"]}
+)""" + _temperature_resample_sql(src="clean", with_kw=","),
         "token_budget_sample": f"""
 WITH t AS (
   SELECT source, doc_id,

@@ -82,17 +82,24 @@ def gopher_metrics(text: Column) -> "dict[str, Column]":
     }
 
 
-def gopher_quality(df: DataFrame, text_col: str = "text",
-                   group_cols: "tuple[str, ...]" = ("source",)) -> DataFrame:
-    """Per-group Gopher-rule summary: doc count, keep count, mean metrics."""
-    m = gopher_metrics(F.col(text_col))
-    keep = (
+def gopher_keep_expr(text: Column, m: "dict[str, Column] | None" = None) -> Column:
+    """The per-doc Gopher keep predicate (shared by gopher_quality and the
+    end-to-end curate_corpus composition — ONE definition, both call sites)."""
+    m = m if m is not None else gopher_metrics(text)
+    return (
         (m["n_words"] >= GOPHER_MIN_WORDS)
         & (m["n_words"] <= GOPHER_MAX_WORDS)
         & (m["mean_word_len"] >= GOPHER_MIN_MEAN_WORD_LEN)
         & (m["mean_word_len"] <= GOPHER_MAX_MEAN_WORD_LEN)
         & (m["stop_hits"] >= GOPHER_MIN_STOPWORD_HITS)
     )
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   group_cols: "tuple[str, ...]" = ("source",)) -> DataFrame:
+    """Per-group Gopher-rule summary: doc count, keep count, mean metrics."""
+    m = gopher_metrics(F.col(text_col))
+    keep = gopher_keep_expr(F.col(text_col), m)
     rows = df.select(
         *[F.col(g) for g in group_cols],
         m["n_words"].alias("n_words"),

@@ -736,6 +736,23 @@ def test_ngram_repetition_per_doc(spark):
     assert b == got
 
 
+def test_curate_corpus_composition(spark):
+    """The end-to-end curation query genuinely exercises every stage on the
+    sf0.01 fixture (each prunes: 500 → 487 dedup → 442 corpus-split → 374
+    decon → 335 gopher → 198 resample) and its pick differs from naively
+    resampling the raw corpus."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.01"
+    curated = {tuple(r) for r in E._curate_corpus(spark, sf).collect()}
+    raw = {
+        tuple(r)
+        for r in E.queries()["temperature_resample"](spark, sf).collect()
+    }
+    assert len(curated) > 100  # quota genuinely filled from survivors
+    assert curated != raw  # upstream stages changed the selection
+
+
 def test_token_budget_sample(spark):
     """Greedy token-budget fill: admission order is the portable hash rank,
     the budget-crossing doc is admitted, everything after is not; per-group
