@@ -96,7 +96,6 @@ def run_bench() -> dict:
     )
     nrows = rowcounts["pipeline_materialized"]
     best = times["pipeline_materialized"]
-    times = {k: times[k] for k in (*HEADLINE, "pipeline_materialized")}
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_suite_total",

@@ -620,7 +620,7 @@ class Scorer:
         the winner and consults ONLY the word table: fluent-but-misspelled
         text keeps a good char score (trigram soup still matches) while
         every misspelled word is word-OOV → the signals separate (pinned in
-        tests/test_quality.py).
+        tests/test_pipeline.py::test_word_ppl_is_independent_of_langid_score).
 
         Rows with no tokens return PENALTY (C7 semantics). ``winner_idx``
         is the PRE-collapse model language id (the argmin index) — exactly

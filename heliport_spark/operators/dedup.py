@@ -538,10 +538,19 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # setCheckpointDir mutates GLOBAL SparkContext state: remember the
         # caller's directory so it can be restored on exit (code-review r4
         # finding — an app that already points df.checkpoint() at shared
-        # prod storage must not be silently redirected here). If none was
-        # set, ours remains (the API has no unset) — documented behavior.
+        # prod storage must not be silently redirected here). Subtlety:
+        # getCheckpointDir returns the EFFECTIVE dir, which is the caller's
+        # requested root plus a per-call random UUID component — restoring
+        # that value verbatim would nest a fresh UUID dir INSIDE the old
+        # run's UUID dir (janitors reaping old run dirs would then delete
+        # live checkpoints). Restore the PARENT, i.e. the caller's root:
+        # setCheckpointDir(root) re-appends a fresh sibling UUID, exactly
+        # reproducing the caller's original call. If none was set, ours
+        # remains (the API has no unset) — documented behavior.
         opt = sc._jsc.sc().getCheckpointDir()
-        prev_ckpt_dir = opt.get() if opt.isDefined() else None
+        prev_ckpt_dir = (
+            opt.get().rsplit("/", 1)[0] if opt.isDefined() else None
+        )
         sc.setCheckpointDir(checkpoint_dir)
 
     def _cut(df: DataFrame) -> DataFrame:

@@ -193,14 +193,15 @@ def signal_adversarial_clips(spark: SparkSession,
 
 
 def make_clips(spark: SparkSession,
-               rows: "list[tuple[str, str]]") -> DataFrame:
-    """Tiny ad-hoc clips table from (clip_id, transcript) pairs — test
-    fixture helper; PCM/duration synthesized like golden_clips so the
-    rate-anomaly rule stays quiet."""
+               rows: "list[tuple[str, str]]",
+               pcm_seed_base: int = 0) -> DataFrame:
+    """Tiny ad-hoc clips table from (clip_id, transcript) pairs — the ONE
+    copy of the duration/PCM synthesis recipe (golden_clips delegates
+    here); ~15 chars/s duration keeps the rate-anomaly rule quiet."""
     out = []
     for i, (cid, s) in enumerate(rows):
         dur = max(200, min(60_000, int(len(s) * 1000 / 15)))
-        raw = synth_pcm(i, dur_ms=dur)
+        raw = synth_pcm(pcm_seed_base + i, dur_ms=dur)
         out.append(
             (cid, raw, 16000, len(raw) // 2 * 1000 // 16000, "pcm_s16le", s)
         )
@@ -208,15 +209,12 @@ def make_clips(spark: SparkSession,
 
 
 def golden_clips(spark: SparkSession, start_id: int = 0) -> DataFrame:
-    """Small driver-side DataFrame of the golden + adversarial corpus."""
-    rows = []
+    """Small driver-side DataFrame of the golden + adversarial corpus
+    (row synthesis delegated to make_clips — one copy of the duration/PCM
+    recipe)."""
     sents = list(GOLDEN_SENTS) + list(ADVERSARIAL_SENTS)
-    for i, s in enumerate(sents):
-        rid = start_id + i
-        dur = max(200, min(60_000, int(len(s) * 1000 / 15)))
-        raw = synth_pcm(rid, dur_ms=dur)
-        rows.append(
-            (f"clip-{rid:012d}", raw, 16000, len(raw) // 2 * 1000 // 16000,
-             "pcm_s16le", s)
-        )
-    return spark.createDataFrame(rows, schema=CLIPS_SCHEMA)
+    return make_clips(
+        spark,
+        [(f"clip-{start_id + i:012d}", s) for i, s in enumerate(sents)],
+        pcm_seed_base=start_id,
+    )

@@ -298,18 +298,23 @@ def streaming_minhash_candidates(
     )
 
 
-def salted_minhash_sig_expr(text):
-    """array<bigint> salted minhash signature (s0..s{H-1}) as a PURE
-    PROJECTION — the stream-safe twin of the batch estimator's
-    ``_minhash_wide_salted`` aggregate, from the SAME constants
+def salted_minhash_sig_from(sh):
+    """array<bigint> salted minhash signature (s0..s{H-1}) from a
+    PRE-PROJECTED shingle-array column — the stream-safe twin of the batch
+    estimator's ``_minhash_wide_salted`` aggregate, from the SAME constants
     (MINHASH_PARAMS length H, MERSENNE_P, 5-char shingles, per-function
     md5 salt ``f"{i}|"``): a row gets the bit-identical signature in batch
     and streaming. See _minhash_wide_salted for why the ESTIMATOR needs the
     salted family (the cheap affine banding family is only 2-universal —
-    measured +0.12 Jaccard bias)."""
-    from ..operators.dedup import MERSENNE_P, MINHASH_PARAMS, h60, shingles_expr
+    measured +0.12 Jaccard bias).
 
-    sh = shingles_expr(text, 5)
+    Takes the shingle COLUMN, not the text: HOFs are CodegenFallback (no
+    CSE), so inlining the shingle subtree into each of the H array_min
+    transforms would re-normalize and re-slice the text H× per row — the
+    same landmine ``shingle_hashes_expr``'s docstring records. Project
+    ``shingles_expr(text)`` once as a named column and pass it here."""
+    from ..operators.dedup import MERSENNE_P, MINHASH_PARAMS, h60
+
     return F.array(
         *[
             F.array_min(
@@ -321,6 +326,15 @@ def salted_minhash_sig_expr(text):
             for i in range(len(MINHASH_PARAMS))
         ]
     )
+
+
+def salted_minhash_sig_expr(text):
+    """Convenience wrapper of ``salted_minhash_sig_from`` taking raw text —
+    use ONLY in one-off projections; hot paths should share a pre-projected
+    shingle column (see streaming_minhash_verified)."""
+    from ..operators.dedup import shingles_expr
+
+    return salted_minhash_sig_from(shingles_expr(text, 5))
 
 
 def streaming_minhash_verified(
@@ -420,12 +434,26 @@ def streaming_minhash_verified(
                 {"id_a": out_a, "id_b": out_b, "est_jaccard": out_e}
             )
 
+    from ..operators.dedup import MERSENNE_P as _P
+    from ..operators.dedup import h60 as _h60
+    from ..operators.dedup import shingles_expr as _shingles
+
+    # the shingle ARRAY is projected once as a named column and BOTH hash
+    # families derive from it — inlining the shingle subtree into the 12
+    # salted array_min transforms would re-normalize/re-slice the text 13×
+    # per row (HOFs are CodegenFallback, no CSE; code-review r4 finding)
     keyed = (
         clips_stream.filter(F.col(id_col).isNotNull())
         .select(
             F.col(id_col).cast("string").alias("id"),
-            shingle_hashes_expr(F.col(text_col)).alias("_hs"),
-            salted_minhash_sig_expr(F.col(text_col)).alias("sig"),
+            _shingles(F.col(text_col), 5).alias("_sh"),
+        )
+        .select(
+            "id",
+            F.transform(
+                F.col("_sh"), lambda s: _h60(s) % F.lit(_P)
+            ).alias("_hs"),
+            salted_minhash_sig_from(F.col("_sh")).alias("sig"),
         )
         .select(
             "id", "sig",

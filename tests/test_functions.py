@@ -696,7 +696,11 @@ def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
            for r in dup_clusters(pairs, checkpoint_dir=ckpt).collect()}
     assert rel == base
     restored = spark.sparkContext._jsc.sc().getCheckpointDir()
-    assert restored.isDefined() and caller_dir in restored.get()
+    # the effective dir is root/<fresh UUID>: its PARENT must be exactly the
+    # caller's root — not nested inside the previous run's UUID dir
+    # (setCheckpointDir appends a UUID component per call)
+    assert restored.isDefined()
+    assert restored.get().rsplit("/", 1)[0].endswith(caller_dir)
     written = [
         os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
     ]
