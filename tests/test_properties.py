@@ -50,6 +50,26 @@ def test_hash_padding_independent(grams):
         assert int(hash_grams([g])[0]) == int(h)
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.lists(text_strategy, min_size=1, max_size=8))
+def test_word_nll_bounded_and_batch_invariant(texts):
+    """The independent word-LM signal on arbitrary unicode: finite, within
+    [0, PENALTY] (a mean of per-word values each ≤ 7.0), PENALTY exactly
+    for token-less rows, and identical whether a text is scored in a batch
+    of duplicates or alone (the factorize shortcut + tok cache must not
+    change values)."""
+    res = _FAST.identify_batch(texts, with_word_nll=True)
+    wnll = res[4]
+    assert np.all(np.isfinite(wnll))
+    assert np.all((wnll >= 0.0) & (wnll <= 7.0 + 1e-6))
+    for t, w in zip(texts, wnll):
+        solo = _FAST.identify_batch([t], with_word_nll=True)[4][0]
+        assert solo == w
+    # duplicate-heavy batch (engages the factorize scatter) agrees too
+    dup = _FAST.identify_batch(list(texts) * 5, with_word_nll=True)[4]
+    assert np.array_equal(dup[: len(texts)], wnll)
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.text(min_size=0, max_size=200))
 def test_preprocess_tokens_contain_no_spaces(text):
