@@ -62,23 +62,35 @@ def run(rows_per_sec: int, seconds: int) -> None:
     from heliport_spark.plans import get_spark
     from heliport_spark.streaming.stream import (
         streaming_exact_dedup,
+        streaming_minhash_verified,
         streaming_quality_filter,
     )
 
     spark = get_spark(app_name="heliport_streaming_bench")
     spark.sparkContext.setLogLevel("ERROR")
-    rate = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", str(rows_per_sec))
-        .option("numPartitions", "8")
-        .load()
-    )
-    clips = synthetic_clips(rate)
+
+    def clips_at(rps: int):
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", str(rps))
+            .option("numPartitions", "8")
+            .load()
+        )
+        return synthetic_clips(rate)
 
     results = {}
     for name, df in (
-        ("pipeline", streaming_quality_filter(clips)),
-        ("dedup", streaming_exact_dedup(clips)),
+        ("pipeline", streaming_quality_filter(clips_at(rows_per_sec))),
+        ("dedup", streaming_exact_dedup(clips_at(rows_per_sec))),
+        # fused near-dup verify: ~13 md5-hash families over every shingle
+        # per row, so its ceiling is far below the cheap streams' — feed it
+        # a 10×-lower oversubscribed rate so the first batch completes
+        # inside the window and recentProgress reflects steady state. The
+        # synthetic text repeats every 1000 ids, so buckets are
+        # deliberately HOT: the k-capped state is what's being exercised
+        # (worst-case boilerplate stream).
+        ("minhash_verify",
+         streaming_minhash_verified(clips_at(max(1, rows_per_sec // 10)))),
     ):
         q = df.writeStream.format("noop").outputMode("append").start()
         try:
@@ -87,10 +99,11 @@ def run(rows_per_sec: int, seconds: int) -> None:
             rows = sum(p["numInputRows"] for p in progress)
             secs = sum(p["batchDuration"] for p in progress) / 1000.0
             results[name] = (rows, rows / secs if secs else 0.0)
-            if name == "dedup" and progress and progress[-1]["stateOperators"]:
-                results["dedup_state_rows"] = progress[-1]["stateOperators"][0][
-                    "numRowsTotal"
-                ]
+            if name in ("dedup", "minhash_verify") and progress and \
+                    progress[-1]["stateOperators"]:
+                results[f"{name}_state_rows"] = progress[-1][
+                    "stateOperators"
+                ][0]["numRowsTotal"]
         finally:
             q.stop()
     for k, v in results.items():
