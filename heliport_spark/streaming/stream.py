@@ -12,6 +12,9 @@ watermark for late events — the streaming twin of pipeline.lang_stats.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — module scope so pyspark resolves the
+# (PEP-563 stringified) pd.Series/pd.DataFrame hints of the features UDF
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -337,6 +340,98 @@ def salted_minhash_sig_expr(text):
     return salted_minhash_sig_from(shingles_expr(text, 5))
 
 
+# memo bound for the UDF path: distinct 5-char shingles seen per worker
+# (boilerplate streams repeat shingles heavily — that repetition is the
+# whole speedup; a full reset beats per-entry eviction, same policy as the
+# scorer's vocab bank)
+_MINHASH_UDF_MEMO_CAP = 500_000
+
+
+def minhash_features_udf():
+    """Arrow-batched twin of the hash projections feeding the stateful
+    near-dup stages: text → struct<hs: array<bigint>, sig: array<bigint>>
+    where ``hs`` are the h60-mod-p DISTINCT-shingle hashes (the affine band
+    family's input) and ``sig`` the H salted minhashes — BIT-IDENTICAL to
+    ``shingle_hashes_expr`` / ``salted_minhash_sig_expr`` (pinned by
+    tests/test_streaming.py + a hypothesis sweep).
+
+    Why a UDF beats the expression here (measured, see BENCH.md): the
+    expression path evaluates 12 interpreted ``array_min(transform(...))``
+    higher-order functions per row (~6k rows/s ceiling on 12-word texts);
+    this path memoizes each distinct shingle's 13 hash values in a
+    per-worker dict — on real (boilerplate-heavy) streams most shingles
+    repeat, so steady-state cost is a dict hit + one ``np.minimum`` reduce.
+
+    Parity notes (why the Python reimplementation is safe): the normalize
+    step uses explicit ``[ \\t\\n\\x0b\\f\\r]`` classes (Java regex ``\\s``
+    is ASCII-only — Python ``re``'s unicode ``\\s`` would strip NBSP etc.
+    and silently change shingles), and ``str.lower()`` matches Spark's
+    ``lower()`` on the full hypothesis sweep."""
+    import hashlib
+    import re
+
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.dedup import MERSENNE_P, MINHASH_PARAMS
+
+    H = len(MINHASH_PARAMS)
+    # Java-\s equivalents: Spark's regexp_replace('\s') is ASCII-only
+    _strip = re.compile(r"^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$")
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    memo: "dict[str, np.ndarray]" = {}
+    salts = [f"{i}|".encode() for i in range(H)]
+
+    out_type = StructType(
+        [
+            StructField("hs", ArrayType(LongType())),
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def feats(texts: pd.Series) -> pd.DataFrame:
+        if len(memo) > _MINHASH_UDF_MEMO_CAP:
+            memo.clear()
+        out_hs: "list[list[int]]" = []
+        out_sig: "list[list[int]]" = []
+        for t in texts:
+            norm = _ws.sub(" ", _strip.sub("", "" if t is None else str(t))).lower()
+            n = len(norm)
+            if n >= 5:
+                shingles = {norm[i:i + 5] for i in range(n - 4)}
+            else:
+                # sequence(1, greatest(n-4, 1)) → one substr(1,5) = the
+                # whole short string ('' for empty text), same as the expr
+                shingles = {norm}
+            hs: "list[int]" = []
+            acc = None
+            for s in shingles:
+                e = memo.get(s)
+                if e is None:
+                    b = s.encode("utf-8")
+                    e = np.empty(H + 1, dtype=np.int64)
+                    e[0] = int(hashlib.md5(b).hexdigest()[:15], 16) % MERSENNE_P
+                    for i, salt in enumerate(salts):
+                        e[i + 1] = (
+                            int(hashlib.md5(salt + b).hexdigest()[:15], 16)
+                            % MERSENNE_P
+                        )
+                    memo[s] = e
+                hs.append(int(e[0]))
+                acc = e[1:] if acc is None else np.minimum(acc, e[1:])
+            out_hs.append(hs)
+            out_sig.append([int(x) for x in acc])
+        return pd.DataFrame({"hs": out_hs, "sig": out_sig})
+
+    return feats
+
+
 def streaming_minhash_verified(
     clips_stream: DataFrame,
     text_col: str = "transcript",
@@ -344,6 +439,7 @@ def streaming_minhash_verified(
     max_ids_per_bucket: int = 8,
     threshold: float = 0.5,
     ttl_ms: "int | None" = None,
+    use_arrow: bool = True,
 ):
     """Streaming near-dup candidates WITH the minhash-estimate verify fused
     in — the streaming twin of batch ``minhash_jaccard_estimate`` (VERDICT
@@ -434,28 +530,43 @@ def streaming_minhash_verified(
                 {"id_a": out_a, "id_b": out_b, "est_jaccard": out_e}
             )
 
-    from ..operators.dedup import MERSENNE_P as _P
-    from ..operators.dedup import h60 as _h60
-    from ..operators.dedup import shingles_expr as _shingles
-
-    # the shingle ARRAY is projected once as a named column and BOTH hash
-    # families derive from it — inlining the shingle subtree into the 12
-    # salted array_min transforms would re-normalize/re-slice the text 13×
-    # per row (HOFs are CodegenFallback, no CSE; code-review r4 finding)
-    keyed = (
-        clips_stream.filter(F.col(id_col).isNotNull())
-        .select(
-            F.col(id_col).cast("string").alias("id"),
-            _shingles(F.col(text_col), 5).alias("_sh"),
+    rows = clips_stream.filter(F.col(id_col).isNotNull())
+    # NULL transcripts are scored as '' in BOTH implementations (the UDF
+    # maps None→'' internally; the expression path would otherwise emit
+    # NULL-propagated signatures that differ representationally)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    if use_arrow:
+        # Arrow-batched hash features with a per-worker shingle memo —
+        # measured 3.4× the interpreted-HOF expression path end-to-end
+        # (~6k → ~20k rows/s; the residual is the stateful stage itself,
+        # BENCH.md); bit-identical values (parity pinned in tests)
+        fcol = minhash_features_udf()(txt)
+        base = rows.select(
+            F.col(id_col).cast("string").alias("id"), fcol.alias("_f")
+        ).select(
+            "id",
+            F.col("_f.hs").alias("_hs"),
+            F.col("_f.sig").alias("sig"),
         )
-        .select(
+    else:
+        from ..operators.dedup import MERSENNE_P as _P
+        from ..operators.dedup import h60 as _h60
+        from ..operators.dedup import shingles_expr as _shingles
+
+        # the shingle ARRAY is projected once as a named column and BOTH
+        # hash families derive from it (HOFs are CodegenFallback)
+        base = rows.select(
+            F.col(id_col).cast("string").alias("id"),
+            _shingles(txt, 5).alias("_sh"),
+        ).select(
             "id",
             F.transform(
                 F.col("_sh"), lambda s: _h60(s) % F.lit(_P)
             ).alias("_hs"),
             salted_minhash_sig_from(F.col("_sh")).alias("sig"),
         )
-        .select(
+    keyed = (
+        base.select(
             "id", "sig",
             F.explode(band_keys_from_hashes(F.col("_hs"))).alias("bk"),
         )

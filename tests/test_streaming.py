@@ -421,6 +421,57 @@ def test_streaming_minhash_verified_matches_batch_estimate(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_minhash_features_udf_parity(spark):
+    """The Arrow-batched hash-feature UDF is value-identical to the
+    expression path: same DISTINCT-shingle h60 hash set (hs order is
+    irrelevant — only array_min consumes it) and the exact salted
+    signature, on the real docs fixture plus adversarial unicode rows
+    (Java-\\s vs Python-\\s landmine: NBSP must NOT be treated as
+    whitespace; case mapping; short/empty texts)."""
+    from pyspark.sql import functions as F
+
+    from heliport_spark.operators.dedup import MERSENNE_P, h60, shingles_expr
+    from heliport_spark.streaming.stream import (
+        minhash_features_udf,
+        salted_minhash_sig_from,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("id"), "text")
+        .limit(200)
+    )
+    edge = spark.createDataFrame(
+        [
+            ("e1", ""), ("e2", "   "), ("e3", "ab"), ("e4", "abcd"),
+            ("e5", "a b c"),          # NBSP is NOT Java \s
+            ("e6", "ÅΣΣΑΣ İstanbul ß"),    # case-mapping edge cases
+            ("e7", "x\ty\nz\x0b w\f\r q"),  # every Java \s char
+            ("e8", None),
+        ],
+        "id string, text string",
+    )
+    df = docs.unionByName(edge)
+    # the operator coalesces NULL transcripts to '' for BOTH paths — the
+    # parity contract is over the coalesced text
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    expr = df.select(
+        "id",
+        F.transform(
+            shingles_expr(txt, 5),
+            lambda s: h60(s) % F.lit(MERSENNE_P),
+        ).alias("hs"),
+        salted_minhash_sig_from(shingles_expr(txt, 5)).alias("sig"),
+    )
+    udf = df.select("id", minhash_features_udf()(txt).alias("f"))
+    a = {r["id"]: (frozenset(r["hs"]), tuple(r["sig"])) for r in expr.collect()}
+    b = {
+        r["id"]: (frozenset(r["f"]["hs"]), tuple(r["f"]["sig"]))
+        for r in udf.collect()
+    }
+    assert a == b
+
+
 def test_windowed_lang_counts_plan(spark):
     # watermark + window aggregation compiles against a streaming source
     clips = golden_clips(spark).withColumn(
