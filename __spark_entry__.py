@@ -105,47 +105,6 @@ def _region_revenue(spark, sf):
     )
 
 
-def _top_order_per_customer(spark, sf):
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return (
-        o.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            F.round("o_totalprice", 2).alias("top_price"),
-        )
-    )
-
-
-def _supplier_balance(spark, sf):
-    s = _t(spark, sf, "supplier")
-    n = _t(spark, sf, "nation")
-    return (
-        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(
-            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
-            F.count(F.lit(1)).alias("n_suppliers"),
-        )
-    )
-
-
-def _parts_by_brand(spark, sf):
-    p = _t(spark, sf, "part")
-    return p.groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
-        F.max("p_size").alias("max_size"),
-    )
-
-
 def _events_sessions(spark, sf):
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -670,29 +629,48 @@ def _token_budget_sample(spark, sf):
 def _curate_corpus(spark, sf):
     """END-TO-END corpus curation — the full path a training-data team runs,
     composed from the already-oracle-exact stages and their SHARED constants:
-    (1) near-dup removal: simhash pairs → connected components → drop
-        non-canonical members (dedup_materialize's chain);
+    (0) EXACT dedup first (VERDICT r04 #3): one cheap fingerprint hash-agg
+        collapses byte-identical piles before any banding, which
+        structurally removes the degenerate (band, sig) buckets the
+        MAX_BUCKET cap guards against — real curation runs do this first
+        for the same reason;
+    (1) near-dup removal over the exact survivors: simhash pairs →
+        connected components → drop non-canonical members
+        (dedup_materialize's chain);
     (2) benchmark decontamination: drop survivors sharing any DECON_N-gram
         with the held-out benchmark subset (doc_id % DECON_MOD == 0);
     (3) Gopher quality gate (gopher_keep_expr — same predicate as
         gopher_rules);
     (4) per-language temperature resampling of what remains.
     Output (lang, doc_id) — oracle-exact: the DuckDB twin chains the SAME
-    CTE blocks each standalone oracle uses."""
+    CTE blocks each standalone oracle uses. Stage counts at sf0.01:
+    500 → 500 (exact — the fixture's 13 near-dups are not byte-identical,
+    so stage 0 prunes nothing HERE; its value is the duplicate-heavy case,
+    where it collapses exact piles before they can form degenerate simhash
+    buckets — tests/test_functions.py::test_hot_bucket_cap…) → 487
+    (near-dup) → 442 (benchmark split) → 374 (decon) → 335 (gopher) → 198
+    (resample). Bit-equal to the r04 chain: byte-identical docs share a
+    simhash, so exact-dedup-first removes exactly rows the cluster stage
+    would have dropped anyway (min-id canonicals agree)."""
     from heliport_spark.operators.corpus import (
         decontaminate,
         gopher_keep_expr,
         temperature_resample,
     )
-    from heliport_spark.operators.dedup import dup_clusters, simhash_pairs
+    from heliport_spark.operators.dedup import (
+        dup_clusters,
+        exact_dedup,
+        simhash_pairs,
+    )
 
     d = _docs_repart(spark, sf)
+    ex = d.join(exact_dedup(d).select("doc_id"), "doc_id", "left_semi")
     losers = (
-        dup_clusters(simhash_pairs(d))
+        dup_clusters(simhash_pairs(ex))
         .filter(F.col("is_canonical") == 0)
         .select(F.col("id").alias("doc_id"))
     )
-    surv = d.join(losers, "doc_id", "left_anti")
+    surv = ex.join(losers, "doc_id", "left_anti")
     bench = surv.filter(F.col("doc_id") % DECON_MOD == 0)
     corpus = surv.filter(F.col("doc_id") % DECON_MOD != 0)
     contaminated = decontaminate(corpus, bench, n=DECON_N).select(
@@ -809,26 +787,16 @@ def _ann_ivf(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries — the driver's correctness pass covers the first 50
+    # registered queries, so the registry is consolidated to fit (VERDICT r04
+    # #2: 53 entries silently dropped the last three) and ORDERED so that,
+    # should the count ever creep past the cap again, the TPC-H-style
+    # warm-ups at the tail are what falls off — never an operator query.
+    # (supplier_balance / parts_by_brand duplicated q1's hash-agg shape,
+    # top_order_per_customer duplicated the events_sessions window shape —
+    # dropped, not moved.)
     return {
-        "q1_pricing_summary": _q1_pricing_summary,
-        "q3_top_orders": _q3_top_orders,
-        "region_revenue": _region_revenue,
-        "top_order_per_customer": _top_order_per_customer,
-        "supplier_balance": _supplier_balance,
-        "parts_by_brand": _parts_by_brand,
-        "events_sessions": _events_sessions,
-        "doc_quality": _doc_quality,
-        "word_counts": _word_counts,
-        "char_trigrams": _char_trigrams,
-        "ngram_probs": _ngram_probs,
-        "posting_lists": _posting_lists,
-        "scrub_stats": _scrub_stats,
-        "keep_drop_rules": _keep_drop_rules,
-        "events_json": _events_json,
-        "orders_by_month": _orders_by_month,
-        "revenue_rollup": _revenue_rollup,
-        "customer_set_ops": _customer_set_ops,
-        "parts_never_ordered": _parts_never_ordered,
+        # dedup family (oracle-exact)
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -837,10 +805,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_estimate": _dedup_minhash_estimate,
         "dedup_clusters": _dedup_clusters,
         "dedup_materialize": _dedup_materialize,
+        # similarity / ANN
         "ann_bruteforce": _ann_bruteforce,
         "embedding_neardup": _embedding_neardup,
+        "ann_lsh": _ann_lsh,                              # rows-only
+        "ann_ivf": _ann_ivf,                              # rows-only
+        "embedding_neardup_lsh": _embedding_neardup_lsh,  # rows-only
+        # corpus curation
         "boilerplate_spans": _boilerplate_spans,
         "corpus_stats": _corpus_stats,
+        "corpus_sketches": _corpus_sketches,              # rows-only
         "deterministic_split": _deterministic_split,
         "gopher_rules": _gopher_rules,
         "decontaminate": _decontaminate,
@@ -849,10 +823,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_repetition": _doc_ngram_repetition,
         "token_budget_sample": _token_budget_sample,
         "curate_corpus": _curate_corpus,
-        # rows-only (no SQL oracle possible):
-        "heli_identify_docs": _heli_identify_docs,
-        "heli_topk_docs": _heli_topk_docs,
-        "quality_filter_clips": _quality_filter_clips,
+        # langid / quality / scrub
+        "heli_identify_docs": _heli_identify_docs,        # rows-only
+        "heli_topk_docs": _heli_topk_docs,                # rows-only
+        "quality_filter_clips": _quality_filter_clips,    # rows-only
+        "doc_quality": _doc_quality,
+        "scrub_stats": _scrub_stats,
+        "keep_drop_rules": _keep_drop_rules,
+        # training-side aggregates
+        "word_counts": _word_counts,
+        "char_trigrams": _char_trigrams,
+        "ngram_probs": _ngram_probs,
+        "posting_lists": _posting_lists,
+        # audio (rows-only)
         "audio_features": _audio_features,
         "audio_mel": _audio_mel,
         "audio_signal_rules": _audio_signal_rules,
@@ -860,10 +843,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_chunks": _audio_chunks,
         "audio_resample": _audio_resample,
         "audio_neardup": _audio_neardup,
-        "ann_lsh": _ann_lsh,
-        "ann_ivf": _ann_ivf,
-        "embedding_neardup_lsh": _embedding_neardup_lsh,
-        "corpus_sketches": _corpus_sketches,
+        # relational warm-ups (tail on purpose — first to drop at any cap)
+        "events_sessions": _events_sessions,
+        "events_json": _events_json,
+        "orders_by_month": _orders_by_month,
+        "revenue_rollup": _revenue_rollup,
+        "customer_set_ops": _customer_set_ops,
+        "parts_never_ordered": _parts_never_ordered,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_top_orders": _q3_top_orders,
+        "region_revenue": _region_revenue,
     }
 
 
@@ -872,12 +861,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _minhash_sql_parts() -> str:
     from heliport_spark.operators.dedup import (
         LSH_BANDS,
+        MAX_BUCKET,
         MERSENNE_P,
         MINHASH_PARAMS,
     )
 
     rows_per_band = len(MINHASH_PARAMS) // LSH_BANDS
     params = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS))
+    # `cands` mirrors dedup.capped_bucket_pairs bit-exactly: first-K-by-id
+    # members of each (band, sig) bucket pair exhaustively, overflow members
+    # link only to the bucket representative (min id) — see dedup.MAX_BUCKET
     return f"""
 WITH docs AS (
   SELECT doc_id AS id,
@@ -904,6 +897,22 @@ sig AS (
   SELECT id, (i // {rows_per_band}) AS band,
          string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
   FROM mh GROUP BY id, (i // {rows_per_band})
+),
+sigk AS (
+  SELECT id, band, sig,
+         row_number() OVER (PARTITION BY band, sig ORDER BY id) AS rk,
+         min(id) OVER (PARTITION BY band, sig) AS rep
+  FROM sig
+),
+cands AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM sigk a JOIN sigk b
+      ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    WHERE a.rk <= {MAX_BUCKET} AND b.rk <= {MAX_BUCKET}
+    UNION ALL
+    SELECT rep AS id_a, id AS id_b FROM sigk WHERE rk > {MAX_BUCKET}
+  )
 )"""
 
 
@@ -935,22 +944,43 @@ def oracle_sql() -> dict[str, str]:
     _sh_bands = SIMHASH_BANDS
     _sh_rows = SIMHASH_BITS // SIMHASH_BANDS
     _sh_mask = (1 << _sh_rows) - 1
-    # shared CTE chain for the connected-component queries: simhash sig →
-    # banded candidate pairs p → undirected edges e → min-reachable-label
-    # walk (recursive)
-    _sh_component_cte = _simhash_cte.replace(
-        "\nWITH ", "\nWITH RECURSIVE ", 1
-    ) + f""",
+    from heliport_spark.operators.dedup import MAX_BUCKET as _MAXB
+
+    # shared banded-candidate block (mirrors dedup.capped_bucket_pairs:
+    # first-K-by-id bucket members pair exhaustively, overflow members link
+    # to the bucket representative only), ending in the Hamming-verified
+    # pair CTE `p`
+    _sh_cand_cte = f""",
 bk AS (
-  SELECT id, simhash, g.b AS band,
+  SELECT id, g.b AS band,
          (simhash >> (g.b * {_sh_rows})::INT) & {_sh_mask} AS key
   FROM sig, generate_series(0, {_sh_bands - 1}) AS g(b)
 ),
-p AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_sh_bands - 1}
+bkr AS (
+  SELECT id, band, key,
+         row_number() OVER (PARTITION BY band, key ORDER BY id) AS rk,
+         min(id) OVER (PARTITION BY band, key) AS rep
+  FROM bk
 ),
+candp AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM bkr a JOIN bkr b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    WHERE a.rk <= {_MAXB} AND b.rk <= {_MAXB}
+    UNION ALL
+    SELECT rep AS id_a, id AS id_b FROM bkr WHERE rk > {_MAXB}
+  )
+),
+p AS (
+  SELECT c.id_a, c.id_b,
+         bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming
+  FROM candp c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b
+  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_sh_bands - 1}
+)"""
+    # shared CTE chain for the connected-component queries: simhash sig →
+    # capped banded candidate pairs p → undirected edges e →
+    # min-reachable-label walk (recursive)
+    _walk_sql = """,
 e AS (SELECT id_a AS src, id_b AS dst FROM p
       UNION SELECT id_b, id_a FROM p),
 walk(id, lab) AS (
@@ -958,6 +988,22 @@ walk(id, lab) AS (
   UNION
   SELECT e.dst, w.lab FROM walk w JOIN e ON e.src = w.id
 )"""
+    _sh_component_cte = _simhash_cte.replace(
+        "\nWITH ", "\nWITH RECURSIVE ", 1
+    ) + _sh_cand_cte + _walk_sql
+    from heliport_spark.operators.dedup import simhash_sql_cte as _sh_cte_fn
+
+    # curate_corpus twin: the SAME component chain, but over the exact-dedup
+    # survivors (stage 0 — fdup/exd CTEs injected ahead of the simhash block;
+    # fp_sql is the same shared fingerprint dedup_exact's oracle uses)
+    _sh_component_cte_exd = _sh_cte_fn(src="exd").replace(
+        "\nWITH ",
+        f"""\nWITH RECURSIVE fdup AS (SELECT doc_id, {fp_sql} AS fp FROM documents),
+exd AS (SELECT * FROM documents WHERE doc_id IN
+        (SELECT min(doc_id) FROM fdup GROUP BY fp)),
+""",
+        1,
+    ) + _sh_cand_cte + _walk_sql
 
     from heliport_spark.operators.corpus import (
         GOPHER_MAX_MEAN_WORD_LEN,
@@ -1009,23 +1055,6 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name""",
-        "top_order_per_customer": """
-WITH ranked AS (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
-  FROM orders
-)
-SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS top_price
-FROM ranked JOIN customer ON o_custkey = c_custkey WHERE rk = 1""",
-        "supplier_balance": """
-SELECT n_name, round(sum(s_acctbal), 2) AS total_balance,
-       count(*) AS n_suppliers
-FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name""",
-        "parts_by_brand": """
-SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price,
-       max(p_size) AS max_size
-FROM part GROUP BY p_brand""",
         "events_sessions": """
 WITH g AS (
   SELECT user_id, value,
@@ -1151,17 +1180,12 @@ g AS (SELECT doc_id, fp,
       FROM f)
 SELECT doc_id, fp, dup_count FROM g WHERE doc_id = keeper""",
         "dedup_minhash_lsh": _minhash_sql_parts() + """
-SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id""",
-        # candidates from the cheap affine banding (sig), estimate from
-        # per-function SALTED md5 signatures (smh) — see
+SELECT id_a, id_b FROM cands""",
+        # candidates from the cheap affine banding (capped `cands` CTE),
+        # estimate from per-function SALTED md5 signatures (smh) — see
         # dedup.py::_minhash_wide_salted for the min-wise-independence bias
         # the salt removes
         "dedup_minhash_estimate": _minhash_sql_parts() + f""",
-cands AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
-),
 smh AS (
   SELECT id, g.i AS i,
          min((('0x' || substr(md5(g.i::VARCHAR || '|' || sh), 1, 15))::BIGINT)
@@ -1179,10 +1203,6 @@ m AS (
 SELECT id_a, id_b, round(matches::DOUBLE / {_mh_H}, 4) AS est_jaccard
 FROM m WHERE matches >= {_mh_min_match}""",
         "dedup_ngram_jaccard": _minhash_sql_parts() + """,
-cands AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
-),
 sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
@@ -1195,19 +1215,8 @@ FROM cands c JOIN inter ON c.id_a = inter.id_a AND c.id_b = inter.id_b
 JOIN sizes sa ON c.id_a = sa.id JOIN sizes sb ON c.id_b = sb.id
 WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.3""",
         "simhash": _simhash_cte + "\nSELECT id, simhash FROM sig",
-        "simhash_pairs": _simhash_cte + f""",
-bk AS (
-  SELECT id, simhash, g.b AS band,
-         (simhash >> (g.b * {_sh_rows})::INT) & {_sh_mask} AS key
-  FROM sig, generate_series(0, {_sh_bands - 1}) AS g(b)
-),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-         a.simhash AS sa, b.simhash AS sb
-  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id
-)
-SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= {_sh_bands - 1}""",
+        "simhash_pairs": _simhash_cte + _sh_cand_cte + """
+SELECT id_a, id_b, hamming FROM p""",
         # connected components over the simhash near-dup pairs — recursive
         # CTE twin of dedup.py::dup_clusters (label = min id in component);
         # ONE shared graph block generates both cluster queries (CLAUDE.md:
@@ -1312,9 +1321,9 @@ SELECT source, doc_id FROM r WHERE rk <= 5""",
         # gopher predicate, and temperature-resample CTEs the standalone
         # oracles use, chained. CTE names chosen to avoid the temperature
         # block's rows_/c/cw/t/r.
-        "curate_corpus": _sh_component_cte + f""",
+        "curate_corpus": _sh_component_cte_exd + f""",
 losers AS (SELECT id FROM walk GROUP BY id HAVING id <> min(lab)),
-surv AS (SELECT * FROM documents
+surv AS (SELECT * FROM exd
          WHERE doc_id NOT IN (SELECT id FROM losers)),
 svb AS (SELECT * FROM surv WHERE doc_id % {DECON_MOD} = 0),
 svc AS (SELECT * FROM surv WHERE doc_id % {DECON_MOD} <> 0),

@@ -40,6 +40,27 @@ LSH_BANDS = 2  # 12 hashes → 2 bands × 6 rows (s-curve t≈0.89):
 # the synthetic corpus is highly self-similar, and at web scale a
 # permissive band structure explodes the candidate self-join
 
+# Hot-bucket membership cap for every *batch* banded self-join (MinHash
+# bands, SimHash bands, embedding sign-LSH buckets). A degenerate bucket —
+# one boilerplate page duplicated 10^5–10^6 times lands the whole pile
+# behind a single (band, sig) key — would emit O(bucket²) pairs through a
+# skewed-key shuffle before any verify can prune (THE classic LSH blowup at
+# 100 TB). Semantics, mirrored bit-exactly in the DuckDB oracles:
+#   * the first MAX_BUCKET members (ordered by id — deterministic, unlike
+#     the streaming twin's first-k-by-arrival) pair exhaustively: C(k,2);
+#   * every OVERFLOW member emits exactly ONE candidate pair with the
+#     bucket's first id (the "representative link"), so emission is linear
+#     beyond the cap AND cluster connectivity is preserved — an exact-dup
+#     pile still collapses to one component through its representative,
+#     the verify stage (Jaccard / Hamming / cosine) still filters each
+#     link, and only pair *multiplicity* is lost.
+# Recall consequence: two overflow members of the same bucket are no longer
+# paired DIRECTLY — they stay connected through the representative when
+# they truly duplicate it (transitive for clustering), but a pairwise
+# consumer (e.g. a Jaccard histogram) undercounts inside capped buckets.
+# Buckets below the cap are byte-identical to the uncapped plan.
+MAX_BUCKET = 256
+
 
 def h60(col):
     """Portable 60-bit hash: bigint of the first 15 hex chars of md5."""
@@ -133,11 +154,60 @@ def _minhash_wide(df: DataFrame, text_col: str, id_col: str,
     return sh.groupBy("id").agg(*aggs)
 
 
-def _band_candidates(mh: DataFrame, bands: int) -> DataFrame:
+def capped_bucket_pairs(entries: DataFrame, bucket_cols: "list[str]",
+                        max_bucket: "int | None" = MAX_BUCKET,
+                        carry: "tuple[str, ...]" = ()) -> DataFrame:
+    """Banded equi-self-join with the MAX_BUCKET hot-bucket cap (see the
+    constant's comment for the full semantics + recall consequence). Input:
+    one row per (id, bucket) with the bucket key in ``bucket_cols`` and any
+    per-id payload columns to carry through in ``carry``. Output
+    (id_a, id_b[, a_<c>, b_<c>…]) with id_a < id_b — NOT distinct (a pair
+    colliding in several buckets appears once per collision; callers dedup,
+    which they already needed to do for the multi-band case).
+
+    Plan shape: ONE row_number window on the bucket key (the rank shuffle
+    partitions by the same key the join needs, so AQE/exchange-reuse keeps
+    it to the shuffle the uncapped join already paid), then the self-join of
+    the ≤max_bucket survivors + a linear projection of the overflow rows
+    onto their bucket representative. Per-bucket emission is
+    C(min(n, k), 2) + max(0, n − k) — quadratic only below the cap."""
+    if max_bucket is None:
+        kept = entries
+        overflow = None
+    else:
+        w = Window.partitionBy(*bucket_cols).orderBy("id")
+        ranked = entries.withColumn("_rk", F.row_number().over(w))
+        # first() over the ordered running frame = the bucket's min id (and
+        # its payload) — min() can't carry arrays, first() can
+        for c in ("id", *carry):
+            ranked = ranked.withColumn(f"_rep_{c}", F.first(c).over(w))
+        kept = ranked.filter(F.col("_rk") <= max_bucket)
+        overflow = ranked.filter(F.col("_rk") > max_bucket).select(
+            F.col("_rep_id").alias("id_a"),
+            F.col("id").alias("id_b"),
+            *[F.col(f"_rep_{c}").alias(f"a_{c}") for c in carry],
+            *[F.col(c).alias(f"b_{c}") for c in carry],
+        )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    cond = (F.col("a.id") < F.col("b.id"))
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    within = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        *[F.col(f"a.{c}").alias(f"a_{c}") for c in carry],
+        *[F.col(f"b.{c}").alias(f"b_{c}") for c in carry],
+    )
+    return within if overflow is None else within.unionByName(overflow)
+
+
+def _band_candidates(mh: DataFrame, bands: int,
+                     max_bucket: "int | None" = MAX_BUCKET) -> DataFrame:
     """(id_a, id_b) candidate pairs from a wide minhash frame: all band
     signatures in ONE projection + explode (a per-band select+union would
     re-execute the minhash aggregate once per band), then the banded
-    equi-self-join."""
+    equi-self-join with the hot-bucket cap."""
     rows_per_band = len(MINHASH_PARAMS) // bands
     band_structs = []
     for band in range(bands):
@@ -153,23 +223,23 @@ def _band_candidates(mh: DataFrame, bands: int) -> DataFrame:
     sig = mh.select("id", F.explode(F.array(*band_structs)).alias("bs")).select(
         "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        capped_bucket_pairs(sig, ["band", "sig"], max_bucket)
+        .select("id_a", "id_b")
         .distinct()
     )
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", n_shingle: int = 5,
-                           bands: int = LSH_BANDS) -> DataFrame:
+                           bands: int = LSH_BANDS,
+                           max_bucket: "int | None" = MAX_BUCKET) -> DataFrame:
     """LSH candidate pairs: ids sharing at least one identical band signature.
-    Output (id_a, id_b) with id_a < id_b, distinct."""
+    Output (id_a, id_b) with id_a < id_b, distinct. Buckets larger than
+    ``max_bucket`` are capped (first-k by id pair exhaustively; overflow
+    members link to the bucket representative only — see MAX_BUCKET)."""
     return _band_candidates(
-        _minhash_wide(df, text_col, id_col, n_shingle), bands
+        _minhash_wide(df, text_col, id_col, n_shingle), bands, max_bucket
     )
 
 
@@ -204,7 +274,8 @@ def _minhash_wide_salted(df: DataFrame, text_col: str, id_col: str,
 def minhash_jaccard_estimate(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", n_shingle: int = 5,
                              bands: int = LSH_BANDS,
-                             threshold: float = 0.5) -> DataFrame:
+                             threshold: float = 0.5,
+                             max_bucket: "int | None" = MAX_BUCKET) -> DataFrame:
     """Signature-only Jaccard ESTIMATE for LSH candidate pairs (Broder's
     estimator: est = matching-minhash fraction over per-function salted
     hashes — see _minhash_wide_salted for why the estimator cannot reuse
@@ -243,7 +314,7 @@ def minhash_jaccard_estimate(df: DataFrame, text_col: str = "text",
             for i in range(H)
         ],
     )
-    cand = _band_candidates(both, bands)
+    cand = _band_candidates(both, bands, max_bucket)
     sm = both
     a = sm.select(
         F.col("id").alias("id_a"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(H)]
@@ -433,7 +504,8 @@ def simhash(df: DataFrame, text_col: str = "text",
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = SIMHASH_BITS,
                   bands: int = SIMHASH_BANDS,
-                  max_hamming: "int | None" = None) -> DataFrame:
+                  max_hamming: "int | None" = None,
+                  max_bucket: "int | None" = MAX_BUCKET) -> DataFrame:
     """SimHash near-duplicate PAIRS: band the signature into ``bands``
     equal-width keys, equi-join same-band keys, verify popcount of the XOR.
     Output (id_a, id_b, hamming) with id_a < id_b, hamming ≤ max_hamming.
@@ -441,12 +513,18 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     EXACT for ``max_hamming ≤ bands − 1``: two signatures differing in ≤
     bands−1 bits must agree on at least one whole band (pigeonhole), so the
     banded equi-join misses nothing and the operator is fully
-    oracle-checkable (unlike the recall<1 ANN paths).
+    oracle-checkable (unlike the recall<1 ANN paths). The pigeonhole
+    guarantee holds verbatim only for buckets below ``max_bucket``: inside
+    a capped bucket, overflow members pair only with the bucket
+    representative (still Hamming-verified), so a pairwise-exhaustive
+    consumer sees fewer pairs there while clustering stays connected for
+    true duplicate piles — see MAX_BUCKET.
 
     Scale shape: signatures explode ×bands into an equi-join on
     (band, key) — the same shuffle-partitionable candidate-generation shape
     as MinHash-LSH (dedup.py:96-126); the Hamming verify is one bit_count
-    per surviving candidate pair, never an all-pairs scan."""
+    per surviving candidate pair, never an all-pairs scan; hot-bucket
+    emission is linear beyond the cap."""
     if max_hamming is None:
         max_hamming = bands - 1  # derived from the CALLER's bands — the
         # pigeonhole exactness guarantee below is bands-1, so a module-
@@ -476,18 +554,11 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
         "id", "simhash",
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
-    a = e.alias("a")
-    b = e.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        capped_bucket_pairs(e, ["band", "key"], max_bucket, carry=("simhash",))
         .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"),
+            "id_a", "id_b",
+            F.col("a_simhash").alias("sig_a"), F.col("b_simhash").alias("sig_b"),
         )
         .distinct()  # a pair can agree on several bands
     )
@@ -643,14 +714,16 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             pairs.sparkSession.sparkContext.setCheckpointDir(prev_ckpt_dir)
 
 
-def simhash_sql_cte(bits: int = SIMHASH_BITS) -> str:
+def simhash_sql_cte(bits: int = SIMHASH_BITS, src: str = "documents") -> str:
     """DuckDB CTE computing the identical per-doc signature (shared constants
-    generate both engines' queries — CLAUDE.md oracle discipline)."""
+    generate both engines' queries — CLAUDE.md oracle discipline). ``src``
+    lets composed oracles (curate_corpus) run the same block over an
+    upstream CTE instead of the raw table."""
     return f"""
 WITH words AS (
   SELECT doc_id AS id, w FROM (
     SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-    FROM documents) WHERE w <> ''
+    FROM {src}) WHERE w <> ''
 ),
 wh AS (SELECT id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words),
 ex AS (SELECT id, h, g.j FROM wh, generate_series(0, {bits - 1}) AS g(j)),

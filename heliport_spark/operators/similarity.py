@@ -17,6 +17,8 @@ import pandas as pd  # noqa: F401 — module scope so pyspark resolves the
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import MAX_BUCKET, capped_bucket_pairs
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -386,6 +388,7 @@ def embedding_neardup(
     n_planes: int = 6,
     dim: int = 64,
     n_tables: int = 4,
+    max_bucket: "int | None" = MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via bucketed self-join
     (sign-LSH prefilter, exact cosine verify). Output (id_a, id_b, sim@4dp).
@@ -399,10 +402,26 @@ def embedding_neardup(
     agreement p≈0.9) 4 tables recall ≈0.95 — pinned on a planted fixture in
     tests/test_functions.py.
 
+    SIZING ``n_planes`` AT SCALE: with random hyperplanes the n-vector
+    corpus spreads over 2^n_planes buckets per table, so EXPECTED bucket
+    occupancy is n / 2^n_planes and candidate volume per table grows as
+    ≈ n² / 2^n_planes. To hold occupancy (and per-bucket join cost) constant
+    as the corpus grows, set n_planes ≈ log2(n) − log2(target_occupancy)
+    — e.g. target ~256 docs/bucket ⇒ n_planes ≈ log2(n) − 8 (n=10⁹ ⇒ 22).
+    Each +1 plane halves candidate volume but lowers per-table recall by
+    one factor of p (per-bit agreement p = 1 − θ/π; at cos θ ≥ 0.95,
+    p ≈ 0.90) — compensate with +tables: recall = 1 − (1 − p^planes)^tables.
+    The default 6 suits the ≤10⁵-doc test corpora only.
+
     Scale shape: corpus explodes ×n_tables into a (tbl, bucket) equi-self-
     join — shuffle-partitionable, never a crossJoin, no forced broadcasts;
     the exact cosine verify touches candidate pairs only (deduped across
-    tables FIRST, so a pair colliding in several tables is verified once)."""
+    tables FIRST, so a pair colliding in several tables is verified once).
+    ``max_bucket`` (default ``dedup.MAX_BUCKET``) bounds degenerate
+    buckets — e.g. a zero-vector or template-embedding pile that lands one
+    bucket — via first-k exhaustive pairing + representative links for the
+    overflow (see dedup.MAX_BUCKET for the exact semantics/recall trade);
+    buckets below the cap are byte-identical to the uncapped join."""
     tables = [hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)]
     with_base = df.select(
         F.col(id_col).alias("id"),
@@ -424,15 +443,12 @@ def embedding_neardup(
         "id", "vec",
         F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
     )
-    a = t.alias("a")
-    b = t.alias("b")
     # dedup candidate pairs BEFORE the exact verify: first(vec) carries the
     # vectors through the same hash aggregate that collapses multi-table hits
     pairs = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.first("a.vec").alias("va"), F.first("b.vec").alias("vb"))
+        capped_bucket_pairs(t, ["tbl", "bucket"], max_bucket, carry=("vec",))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("a_vec").alias("va"), F.first("b_vec").alias("vb"))
     )
     return (
         pairs.withColumn("sim", F.round(cosine_expr(F.col("va"), F.col("vb")), 4))
