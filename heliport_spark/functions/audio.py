@@ -204,12 +204,13 @@ def resample_audio_df(df: DataFrame, target_sr: int = 16_000,
     of unification). Raw-PCM clips already at ``target_sr`` pass through
     BYTE-IDENTICAL (no decode/encode round-trip drift).
 
-    Rows that CANNOT be resampled (NULL/empty audio, unknown rate,
-    malformed container) pass their bytes through with ``sr_rs`` NULL —
-    never a false target_sr claim on audio that kept its original rate
-    (code-review r4 finding). The source ``bytes`` column is untouched
-    (passthrough invariant). Arrow-batched mapInPandas, one pass,
-    no shuffle."""
+    ``bytes_rs`` is therefore UNIFORMLY raw PCM s16le or NULL: rows that
+    CANNOT be resampled (NULL/empty audio, unknown rate, malformed
+    container) emit ``bytes_rs`` NULL alongside ``sr_rs`` NULL (ADVICE r04:
+    passing the original container bytes through here invited consumers to
+    decode container headers as samples). The un-resampled original is
+    never lost — the source ``bytes`` column is untouched (passthrough
+    invariant). Arrow-batched mapInPandas, one pass, no shuffle."""
     out_schema = StructType(
         list(df.schema.fields)
         + [
@@ -235,7 +236,7 @@ def resample_audio_df(df: DataFrame, target_sr: int = 16_000,
                 codec = codecs[i] if codecs is not None else None
                 is_wav = codec is not None and str(codec).lower().startswith("wav")
                 if raw is None or len(raw) == 0:
-                    outs.append(raw)
+                    outs.append(None)
                     sr_out.append(None)
                     continue
                 if not is_wav and meta_sr == target_sr:
@@ -246,9 +247,11 @@ def resample_audio_df(df: DataFrame, target_sr: int = 16_000,
                 w, wav_sr = decode_by_codec(raw, codec)
                 sr = wav_sr or meta_sr
                 if sr <= 0 or len(w) == 0:
-                    # unknown rate / malformed container: passthrough with
-                    # NULL sr_rs — no false claim of target-rate audio
-                    outs.append(raw)
+                    # unknown rate / malformed container: NULL out-column
+                    # (the original survives in `bytes`) — emitting the
+                    # container bytes here would hand consumers header
+                    # bytes as "PCM" (ADVICE r04)
+                    outs.append(None)
                     sr_out.append(None)
                     continue
                 w = resample_linear(w, sr, target_sr)

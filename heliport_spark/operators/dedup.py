@@ -617,11 +617,24 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # live checkpoints). Restore the PARENT, i.e. the caller's root:
         # setCheckpointDir(root) re-appends a fresh sibling UUID, exactly
         # reproducing the caller's original call. If none was set, ours
-        # remains (the API has no unset) — documented behavior.
+        # remains (the API has no unset) — documented + warned below.
         opt = sc._jsc.sc().getCheckpointDir()
-        prev_ckpt_dir = (
-            opt.get().rsplit("/", 1)[0] if opt.isDefined() else None
-        )
+        if opt.isDefined():
+            # rstrip("/") before the rsplit: a root registered with a
+            # trailing slash ("s3://bkt/ckpt/") would otherwise split to
+            # the UUID-less dir itself instead of its parent (ADVICE r04)
+            prev_ckpt_dir = opt.get().rstrip("/").rsplit("/", 1)[0]
+        else:
+            prev_ckpt_dir = None
+            import warnings
+
+            warnings.warn(
+                "dup_clusters(checkpoint_dir=...) is installing a "
+                f"SparkContext-global checkpoint dir ({checkpoint_dir!r}) "
+                "on a context that had none; the API has no unset, so it "
+                "stays in effect after this call",
+                stacklevel=2,
+            )
         sc.setCheckpointDir(checkpoint_dir)
 
     def _cut(df: DataFrame) -> DataFrame:

@@ -28,16 +28,55 @@ MAX_DIGIT_RATIO = 0.3
 MIN_ALPHA_RATIO = 0.4
 MAX_PPL = 10.0 ** 6.5     # raw HeLI score > 6.5 ⇒ essentially all-penalty
 # Independent word-LM gate (VERDICT r03 #6): mean −log10 P(word|winner) over
-# the ORDER-0 table only, OOV=7.0 — fires when ≳⅔ of the words are OOV for
-# the winner language. Calibrated on deterministic fixtures: corpus docs
-# measure ≤4.64, the worst fluent golden row (tso) 5.912, half-misspelled
-# English 6.05, fully garbled ≥6.69. NOT applied to majority-CJK rows:
-# CJK tokenizes to single chars, which the word model never contains
-# (wnll=7.0 on perfectly fluent cmn — the char n-gram score is the only
-# meaningful signal there, same >0.5 boundary the scorer's CJK override uses).
-MAX_WORD_NLL = 6.0
+# the ORDER-0 table only, OOV=7.0. Calibrated on deterministic fixtures:
+# corpus docs measure ≤4.64, the worst fluent golden row (tso) 5.912,
+# half-misspelled English 6.05, fully garbled 7.0. ADVICE r04: 6.0 left a
+# 1.5% margin below the worst FLUENT row — far too thin for a DROP rule on
+# real multilingual data — so the drop threshold is 6.5 (≈85%+ of words
+# OOV): fluent tso clears by 9%, total-garble still drops, and the genuinely
+# ambiguous half-misspelled band (≈6.0–6.5) now KEEPS (false drops cost a
+# quality filter more than false keeps; the flag threshold is the drop
+# threshold — one signal, one semantic). Three exemptions:
+#   * cjk_pct > MAX_WORD_CJK_PCT (0.3, widened from the scorer's 0.5
+#     boundary): CJK runs tokenize to whitespace tokens the word model
+#     never contains, so even MIXED-script rows carry OOV-by-construction
+#     tokens that inflate the mean on perfectly fluent text;
+#   * winner language in sparse_word_langs(): 14 of 238 collapsed labels
+#     have < MIN_WORD_TABLE_POSTINGS order-0 entries (sjk 177 … adz 1926 vs
+#     the 9 999 norm) — for them a high OOV rate measures table sparsity,
+#     not fluency;
+#   * und/zxx rows never reach the rule (lang_undetermined already fired).
+MAX_WORD_NLL = 6.5
 MAX_WORD_PPL = 10.0 ** MAX_WORD_NLL
+MAX_WORD_CJK_PCT = 0.3
+MIN_WORD_TABLE_POSTINGS = 2000
 MAX_REPETITION_RUN = 3
+
+
+def sparse_word_langs(
+    model_dir: "str | None" = None,
+    min_postings: int = MIN_WORD_TABLE_POSTINGS,
+) -> "tuple[str, ...]":
+    """Collapsed language labels whose order-0 (whole-word) table is too
+    sparse for the word-LM signal to be informative (see MAX_WORD_NLL
+    notes). Driver-side, one bincount over the mmap'd posting array —
+    computed once per quality_filter build, shipped as a literal isin list
+    (no per-row cost, no extra broadcast)."""
+    import numpy as np
+
+    from ..langs import COLLAPSE, LANGS_ARR, N_LANGS
+    from ..model import get_model
+
+    m = get_model(model_dir) if model_dir is not None else get_model()
+    counts = np.bincount(m.orders[0].plang, minlength=N_LANGS)
+    # a macro label is as word-rich as its richest member
+    coll = np.zeros(N_LANGS, dtype=np.int64)
+    np.maximum.at(coll, COLLAPSE.astype(np.int64), counts)
+    return tuple(sorted(
+        str(LANGS_ARR[c])
+        for c in set(COLLAPSE.astype(np.int64).tolist())
+        if coll[c] < min_postings
+    ))
 
 
 def perplexity(raw_score: Column) -> Column:
@@ -52,13 +91,16 @@ def rule_flags(
     ft_lang: "Column | None" = None,
     word_ppl: "Column | None" = None,
     cjk_pct: "Column | None" = None,
+    word_sparse_langs: "tuple[str, ...] | None" = None,
 ) -> Column:
     """array<string> of fired heuristic rules (D5). Empty array = clean.
 
     ``word_ppl`` (10^word_nll from the independent word-LM, see MAX_WORD_NLL
     above) adds the ``high_word_ppl`` rule — the perplexity signal that can
     fire on fluent-charscore/garbled-words text WITHOUT lang_undetermined
-    moving; gated off majority-CJK rows via ``cjk_pct``."""
+    moving; exempt for mixed/majority-CJK rows (``cjk_pct`` >
+    MAX_WORD_CJK_PCT) and for winner languages in ``word_sparse_langs``
+    (pass ``sparse_word_langs()``)."""
     nc = T.n_chars(text)
     flags = [
         F.when(nc < MIN_CHARS, F.lit("too_short")),
@@ -91,7 +133,9 @@ def rule_flags(
     if word_ppl is not None:
         cond = word_ppl > MAX_WORD_PPL
         if cjk_pct is not None:
-            cond = cond & (cjk_pct <= 0.5)
+            cond = cond & (cjk_pct <= MAX_WORD_CJK_PCT)
+        if word_sparse_langs:
+            cond = cond & ~lang.isin(*word_sparse_langs)
         flags.append(F.when(cond, F.lit("high_word_ppl")))
     arr = F.array(*flags)
     return F.filter(arr, lambda x: x.isNotNull())

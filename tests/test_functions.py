@@ -260,8 +260,10 @@ def test_audio_features_wav_codec_rows(spark):
 def test_resample_audio_df(spark):
     """Sample-rate unification: 8 kHz clip doubles its sample count at
     16 kHz with the tone preserved (dominant FFT bin); already-at-target
-    clips pass through BYTE-IDENTICAL; NULL-sr rows pass through untouched;
-    source bytes column never modified."""
+    clips pass through BYTE-IDENTICAL; un-resamplable rows emit NULL
+    bytes_rs (ADVICE r04 — bytes_rs is uniformly PCM-or-NULL, container
+    bytes must never masquerade as samples); source bytes column never
+    modified."""
     from heliport_spark.functions.audio import (
         decode_pcm_s16le,
         encode_pcm_s16le,
@@ -298,9 +300,11 @@ def test_resample_audio_df(spark):
     assert abs(dom - 440) <= 2  # 1 s of audio → bin index ≈ Hz
     assert low["bytes"] == rows[0][1]  # source untouched
     assert out["at_target"]["bytes_rs"] == rows[1][1]  # byte-identical
-    # unknown rate: passthrough, and sr_rs must NOT claim the target rate
-    assert out["nosr"]["bytes_rs"] == rows[2][1]
+    # unknown rate: NULL output column (original survives in `bytes`),
+    # and sr_rs must NOT claim the target rate
+    assert out["nosr"]["bytes_rs"] is None
     assert out["nosr"]["sr_rs"] is None
+    assert out["nosr"]["bytes"] == rows[2][1]
     # WAV: container's 8 kHz wins over the drifted 16 kHz metadata → real
     # resample work, raw-PCM output at target
     wv = out["wav8"]
@@ -309,9 +313,10 @@ def test_resample_audio_df(spark):
         np.abs(np.fft.rfft(decode_pcm_s16le(wv["bytes_rs"]).astype(np.float64)))
     )
     assert abs(domw - 440) <= 2
-    # malformed container: passthrough bytes, NULL sr_rs, job alive
-    assert out["wav_bad"]["bytes_rs"] == rows[4][1]
+    # malformed container: NULL bytes_rs/sr_rs, original kept, job alive
+    assert out["wav_bad"]["bytes_rs"] is None
     assert out["wav_bad"]["sr_rs"] is None
+    assert out["wav_bad"]["bytes"] == rows[4][1]
 
 
 def test_audio_embedding_neardup_composition(spark):

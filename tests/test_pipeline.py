@@ -331,3 +331,50 @@ def test_salting_splits_hot_language(spark):
     # and the final aggregate is still exact
     stats = {r["lang"]: r for r in lang_stats(df, salt_buckets).collect()}
     assert stats["eng"]["n_clips"] == 9_000
+
+
+def test_word_ppl_exemptions(spark):
+    """ADVICE r04: the high_word_ppl DROP rule must not fire on (a) winner
+    languages whose order-0 word table is sparse (OOV measures table
+    coverage, not fluency there), or (b) mixed-script rows at
+    cjk_pct ≤ 0.5 whose CJK tokens are word-OOV by construction; and the
+    6.0 → 6.5 threshold keeps the half-misspelled ambiguity band."""
+    from pyspark.sql import functions as F
+
+    from heliport_spark.operators.quality import (
+        MAX_WORD_CJK_PCT,
+        MAX_WORD_NLL,
+        rule_flags,
+        sparse_word_langs,
+    )
+
+    sparse = sparse_word_langs()
+    assert 5 <= len(sparse) <= 30  # a real but small exempt set
+    assert "eng" not in sparse and "spa" not in sparse
+
+    # rule-level truth table: same extreme word_ppl, three gate outcomes
+    rows = [
+        # (lang, cjk_pct) — word_ppl fixed above threshold for all rows
+        ("eng", 0.0),            # fires
+        (sparse[len(sparse) // 2], 0.0),  # sparse-table lang: exempt
+        ("jpn", 0.45),           # mixed-script CJK below 0.5: exempt now
+    ]
+    df = spark.createDataFrame(rows, "lang string, cjk_pct float")
+    flags = rule_flags(
+        F.lit("some text"),
+        F.col("lang"),
+        F.lit(1.0),  # char-ppl quiet
+        word_ppl=F.lit(10.0 ** (MAX_WORD_NLL + 0.2)),
+        cjk_pct=F.col("cjk_pct"),
+        word_sparse_langs=sparse,
+    )
+    got = [r["f"] for r in df.select(flags.alias("f")).collect()]
+    assert "high_word_ppl" in got[0]
+    assert "high_word_ppl" not in got[1]
+    assert "high_word_ppl" not in got[2]
+    assert MAX_WORD_CJK_PCT < 0.5
+
+    # threshold calibration: worst fluent golden (tso 5.912) clears by ≥9%,
+    # the all-OOV ceiling (7.0) still drops
+    assert MAX_WORD_NLL >= 5.912 * 1.09
+    assert MAX_WORD_NLL < 7.0
