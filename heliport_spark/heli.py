@@ -75,38 +75,30 @@ def _hash_spans(cp: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndar
     of a codepoint buffer — no substring materialization (ROADMAP item 4:
     the cold-cache path hashes straight from codepoints)."""
     n = len(starts)
-    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
     if n == 0:
-        return h
-    cap = len(cp) - 1
-    max_len = int(lens.max())
+        return np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    # sort spans by length (radix argsort, O(n) for ints): at char j the
+    # still-live spans are then exactly the tail lens_sorted > j, so every
+    # FNV step is ONE in-place xor-mul over a contiguous slice — no per-lane
+    # masks, no np.where allocations (measured 83 → ~30 ms on a 450k-token
+    # batch of mean-6 words). Work is Σ lens element-ops + max_len numpy
+    # calls: one pathological 100k-char token costs O(its length) calls on
+    # 1-element tails, never O(length × batch width).
+    # int32 sort keys: radix argsort does half the byte-passes of int64
+    order = np.argsort(lens.astype(np.int32, copy=False), kind="stable")
+    ls = lens[order]
+    ss = starts[order]
+    hs = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    max_len = int(ls[-1])
     with np.errstate(over="ignore"):
-        # full-width masked loop for normal word lengths (fastest when most
-        # lanes are active), then compact to the surviving spans: one
-        # pathological 100k-char token must cost O(its length), not
-        # O(its length × batch width)
-        j = 0
-        for j in range(min(max_len, 64)):
-            active = lens > j
-            if not active.any():
-                break
-            c = cp[np.minimum(starts + j, cap)].astype(np.uint64)
-            h = np.where(active, (h ^ c) * _FNV_PRIME, h)
-        if max_len > 64:
-            pos = np.flatnonzero(lens > 64)
-            hi, si, li = h[pos].copy(), starts[pos], lens[pos]
-            j = 64
-            while pos.size:
-                alive = li > j
-                if not alive.all():
-                    done = ~alive
-                    h[pos[done]] = hi[done]  # retire finished spans
-                    pos, hi, si, li = pos[alive], hi[alive], si[alive], li[alive]
-                    if not pos.size:
-                        break
-                hi = (hi ^ cp[si + j].astype(np.uint64)) * _FNV_PRIME
-                j += 1
-        h = _splitmix(h)
+        for j in range(max_len):
+            lo = int(np.searchsorted(ls, j + 1))
+            sl = slice(lo, n)
+            c = cp[ss[sl] + j].astype(np.uint64)
+            hs[sl] = (hs[sl] ^ c) * _FNV_PRIME
+        hs = _splitmix(hs)
+    h = np.empty(n, dtype=np.uint64)
+    h[order] = hs
     return h
 
 
@@ -156,6 +148,12 @@ class Scorer:
 
     def _bank_reset(self) -> None:
         self._memo.clear()
+        # two-tier memo: `_memo` holds words appended since the last merge;
+        # `_memo_keys`/`_memo_slots` are a SORTED snapshot probed with one
+        # vectorized searchsorted (the per-unique dict.get generator measured
+        # ~20 ms per warm 10k×45-word batch; the snapshot probe is ~2 ms)
+        self._memo_keys = np.empty(0, np.uint64)
+        self._memo_slots = np.empty(0, np.int64)
         self._vb_n = 0
         self._vb_len = 0
         self._vb_base = np.empty(4096, np.float32)
@@ -163,6 +161,43 @@ class Scorer:
         self._vb_start = np.empty(4096, np.int64)
         self._vb_idx = np.empty(16384, np.int16)
         self._vb_val = np.empty(16384, np.float32)
+
+    def _memo_lookup(self, uniq_h: np.ndarray) -> np.ndarray:
+        """Slot of each hash, -1 for unknown: sorted-snapshot searchsorted
+        first, pending-dict fallback for the (usually few) leftovers."""
+        ks = self._memo_keys
+        u = len(uniq_h)
+        if ks.size:
+            p = np.minimum(np.searchsorted(ks, uniq_h), ks.size - 1)
+            hit = ks[p] == uniq_h
+            slots = np.where(hit, self._memo_slots[p], np.int64(-1))
+        else:
+            slots = np.full(u, -1, np.int64)
+        pend = self._memo
+        if pend:
+            miss = np.flatnonzero(slots < 0)
+            if miss.size:
+                get = pend.get
+                slots[miss] = np.fromiter(
+                    (get(h, -1) for h in uniq_h[miss].tolist()),
+                    np.int64, count=miss.size,
+                )
+        return slots
+
+    def _memo_merge(self) -> None:
+        """Fold the pending dict into the sorted snapshot (hashes are never
+        re-appended, so concatenate-and-sort needs no dedup)."""
+        pend = self._memo
+        if not pend:
+            return
+        k = np.fromiter(pend.keys(), np.uint64, count=len(pend))
+        v = np.fromiter(pend.values(), np.int64, count=len(pend))
+        keys = np.concatenate([self._memo_keys, k])
+        slots = np.concatenate([self._memo_slots, v])
+        order = np.argsort(keys)
+        self._memo_keys = keys[order]
+        self._memo_slots = slots[order]
+        pend.clear()
 
     def _vb_ensure(self, k: int, m: int) -> None:
         n, L = self._vb_n, self._vb_len
@@ -224,26 +259,52 @@ class Scorer:
             return cached[1]
         m = self.model
         n = len(texts)
-        lowered = [t.lower() if isinstance(t, str) else "" for t in texts]
-        # char offsets of each text inside the joined buffer
-        lens = np.fromiter((len(t) for t in lowered), dtype=np.int64, count=n)
-        text_start = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(lens + 1, out=text_start[1:])  # +1 for the separator
-        joined = "\n".join(lowered)
         cjk_pct = np.zeros(n, dtype=np.float32)
         valid = np.zeros(n, dtype=bool)
+        # P1 fast path: ONE C-level .lower() over the joined buffer instead
+        # of n Python calls (24 → ~3 ms per 10k batch). Safe because '\n' is
+        # neither cased nor case-ignorable, so even the conditional
+        # final-sigma mapping sees the same context at text boundaries as it
+        # would per-text; boundaries are recovered from the actual separator
+        # positions AFTER lowering (length-changing mappings like 'İ'→'i̇'
+        # shift offsets, never create or destroy '\n'). Texts that embed a
+        # newline (or non-str rows) fall back to the per-text path.
+        joined = None
+        text_start = None
+        try:
+            raw = "\n".join(texts)
+        except TypeError:
+            raw = None
+        if raw is not None and raw.count("\n") == n - 1:
+            joined = raw.lower()
+            if joined:
+                cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+                text_start = np.empty(n + 1, dtype=np.int64)
+                text_start[0] = 0
+                text_start[1:n] = np.flatnonzero(cp == 0x0A) + 1
+                text_start[n] = len(cp) + 1
+        if text_start is None:
+            lowered = [t.lower() if isinstance(t, str) else "" for t in texts]
+            # char offsets of each text inside the joined buffer
+            lens = np.fromiter((len(t) for t in lowered), dtype=np.int64, count=n)
+            text_start = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens + 1, out=text_start[1:])  # +1 for the separator
+            joined = "\n".join(lowered)
+            if joined:
+                cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
         if not joined:
             z = np.empty(0, np.int64)
             return (np.empty(0, np.uint32), z, z, z,
                     np.zeros(n + 1, np.int64), cjk_pct, valid)
-        cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
         cp = np.where(m.keep_table[cp], cp, np.uint32(0x20))
         iscjk = m.cjk_table[cp]
         nonspace = cp != 0x20
-        # per-text counts via prefix sums (robust to empty texts)
-        cs_ns = np.zeros(len(cp) + 1, dtype=np.int64)
+        # per-text counts via prefix sums (robust to empty texts); int32 is
+        # plenty (counts ≤ buffer length < 2^31 per Arrow batch) and halves
+        # the traffic of the two buffer-wide cumsums
+        cs_ns = np.zeros(len(cp) + 1, dtype=np.int32)
         np.cumsum(nonspace, out=cs_ns[1:])
-        cs_cjk = np.zeros(len(cp) + 1, dtype=np.int64)
+        cs_cjk = np.zeros(len(cp) + 1, dtype=np.int32)
         np.cumsum(iscjk, out=cs_cjk[1:])
         t0 = text_start[:-1]
         t1 = np.minimum(text_start[1:] - 1, len(cp))  # exclude separator
@@ -489,27 +550,38 @@ class Scorer:
             # collision tolerance)
             lens_tok = e_idx - s_idx + 1
             tok_hash = _hash_spans(cp, s_idx, lens_tok)
-            uniq_h, first_idx, flat_ids = np.unique(
-                tok_hash, return_index=True, return_inverse=True
-            )
+            # hash-based factorize instead of np.unique: no 450k argsort
+            # (63 → 9 ms per 10k×45-word batch); uniq order becomes
+            # first-appearance, which every consumer is agnostic to (model
+            # lookup is a hash probe, bincount keys are order-free, and
+            # word_nll_batch re-derives everything from (uniq_h, flat_ids))
+            import pandas as pd
+
+            flat_ids, uniq_h = pd.factorize(tok_hash)
             flat_ids = flat_ids.astype(np.int64, copy=False)
+            uniq_h = np.asarray(uniq_h, dtype=np.uint64)
+            # first occurrence of each unique: reversed scatter — the last
+            # write per slot is the smallest occurrence index
+            first_idx = np.empty(len(uniq_h), dtype=np.int64)
+            first_idx[flat_ids[::-1]] = np.arange(
+                len(flat_ids) - 1, -1, -1, dtype=np.int64
+            )
             self._tok_cache = (
                 tuple(texts), (uniq_h, flat_ids, tok_text, bounds)
             )
-            memo = self._memo
             if self._vb_n > self.cache_cap:
                 self._bank_reset()  # full reset beats per-entry eviction here
             u = len(uniq_h)
-            hl = uniq_h.tolist()
-            slots = np.fromiter(
-                (memo.get(h, -1) for h in hl), np.int64, count=u
-            )
+            slots = self._memo_lookup(uniq_h)
             missm = slots < 0
             if missm.any():
+                memo = self._memo
                 fi = first_idx[missm]
                 self._score_spans_fast(cp, s_idx[fi], lens_tok[fi], uniq_h[missm])
-                for li in np.flatnonzero(missm).tolist():
-                    slots[li] = memo[hl[li]]
+                miss_rows = np.flatnonzero(missm)
+                for li, h in zip(miss_rows.tolist(), uniq_h[miss_rows].tolist()):
+                    slots[li] = memo[h]
+                self._memo_merge()
             # batch word vectors = one CSR-style gather out of the vocab bank
             base = self._vb_base[slots]
             nnz = self._vb_nnz[slots]
@@ -519,11 +591,14 @@ class Scorer:
             total_nz = int(off[-1])
             if total_nz:
                 pos = np.repeat(vstart - off[:-1], nnz) + np.arange(total_nz)
-                idx_cat = self._vb_idx[pos].astype(np.int64)
-                val_cat = self._vb_val[pos].astype(np.float64)
+                # narrow dtypes: lang indexes fit int32, values stay the
+                # bank's f32 (bincount casts per-element to f64 internally —
+                # bit-identical to gathering pre-cast f64, half the traffic)
+                idx_cat = self._vb_idx[pos].astype(np.int32)
+                val_cat = self._vb_val[pos]
             else:
-                idx_cat = np.empty(0, np.int64)
-                val_cat = np.empty(0, np.float64)
+                idx_cat = np.empty(0, np.int32)
+                val_cat = np.empty(0, np.float32)
             nwords = np.diff(bounds).astype(np.float32)
             if n * u <= 12_000_000 and u <= 20_000:
                 # small batch vocabulary: dense counts × word-matrix sgemm —
@@ -538,7 +613,7 @@ class Scorer:
                 W = np.repeat(base[:, None], N_LANGS, axis=1)
                 if len(idx_cat):
                     rows = np.repeat(np.arange(u), nnz)
-                    np.add.at(W, (rows, idx_cat), val_cat.astype(np.float32))
+                    np.add.at(W, (rows, idx_cat), val_cat)
                 points[:] = C @ W
             else:
                 # large vocabulary: per-occurrence sparse expansion with
@@ -551,12 +626,16 @@ class Scorer:
                 total = int(occ_nnz.sum())
                 if total:
                     starts = off[flat_ids]
-                    pos = np.repeat(
-                        starts - np.concatenate(([0], np.cumsum(occ_nnz)[:-1])),
-                        occ_nnz,
-                    ) + np.arange(total)
-                    e_rows = np.repeat(tok_text, occ_nnz)
-                    keys = e_rows * N_LANGS + idx_cat[pos]
+                    cum = np.cumsum(occ_nnz)
+                    # int32 keys halve the traffic of the two big per-posting
+                    # passes (n·242 < 2^31 always: n ≤ Arrow batch, 242
+                    # langs); measured 133 → 106 ms on a 4.8M-posting batch
+                    pos = np.repeat(starts - cum + occ_nnz, occ_nnz) + np.arange(
+                        total
+                    )
+                    keys = np.repeat(
+                        tok_text.astype(np.int32) * np.int32(N_LANGS), occ_nnz
+                    ) + idx_cat[pos]
                     sparse = np.bincount(
                         keys, weights=val_cat[pos], minlength=n * N_LANGS
                     ).reshape(n, N_LANGS)

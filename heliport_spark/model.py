@@ -170,8 +170,12 @@ class HeliModel:
         else:
             self.confidence = np.load(d / "confidence.npy")
         assert self.confidence.shape == (N_LANGS,)
-        self.keep_table = np.load(d / "keep_table.npy", mmap_mode="r")
-        self.cjk_table = np.load(d / "cjk_table.npy", mmap_mode="r")
+        # the two char tables are gathered batch-width (millions of fancy
+        # indexes per 10k texts) EVERY batch — unlike the order tables, whose
+        # mmap pays off via lazy page sharing, keeping these as memmaps costs
+        # ~20 ms/batch in mmap-wrapper overhead for 1.1 MB each: materialize
+        self.keep_table = np.asarray(np.load(d / "keep_table.npy", mmap_mode="r"))
+        self.cjk_table = np.asarray(np.load(d / "cjk_table.npy", mmap_mode="r"))
 
 
 def _filter_order(keys, offsets, plang, pprob, lang_ids):

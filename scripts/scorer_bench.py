@@ -71,6 +71,28 @@ def synth_corpus(model, n_texts: int, words_per_text: int) -> "list[str]":
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--sweep":
+        # length sweep: the engine is length-linear, so texts/s alone is
+        # meaningless without words/text — report words/s alongside (the
+        # reference's 42.9k sents/s is on OpenLID sentences, whose length
+        # is NOT 45 words; per-word rate is the length-fair comparison)
+        from heliport_spark.heli import Scorer
+        from heliport_spark.model import get_model
+
+        model = get_model()
+        reps = int(os.environ.get("SCORER_BENCH_REPS", "3"))
+        print(f"{'wpt':>4} {'texts/s warm':>14} {'words/s warm':>14}")
+        for wpt in (8, 12, 18, 25, 45):
+            n = 20_000
+            texts = synth_corpus(model, n, wpt)
+            batches = [texts[i : i + 10_000] for i in range(0, n, 10_000)]
+            sc = Scorer(model)
+            _timed_pass(sc, batches)  # fill memo
+            warm = min(_timed_pass(sc, batches) for _ in range(reps))
+            tps = n / warm
+            print(f"{wpt:>4} {tps:>14,.0f} {tps * wpt:>14,.0f}")
+        return
+
     n_texts = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     wpt = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     from heliport_spark.heli import Scorer

@@ -1040,6 +1040,18 @@ def test_embedding_neardup_bucketed_recall(spark):
     assert ngot <= nexact
     assert len(ngot & nexact) / len(nexact) >= 0.95
 
+    # (b') scale sizing (VERDICT r04 #5): the docstring rule says grow
+    # n_planes ≈ log2(n) − log2(target_occupancy) as the corpus grows; at
+    # threshold 0.95 the per-bit collision p≈0.97, so going 6 → 8 planes
+    # (4× fewer docs/bucket) costs ≈p² ≈ 6% per-table recall, recovered by
+    # the 4-table OR — the planted floor must hold at the scaled-up planes.
+    ngot8 = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup(ne, threshold=0.95, n_planes=8).collect()
+    }
+    assert ngot8 <= nexact
+    assert len(ngot8 & nexact) / len(nexact) >= 0.95
+
 
 def test_hot_bucket_cap_bounds_pair_emission(spark):
     """VERDICT r04 #1: a duplicate-heavy corpus puts the whole pile behind
