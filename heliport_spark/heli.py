@@ -102,6 +102,30 @@ def _hash_spans(cp: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndar
     return h
 
 
+def _factorize_texts(texts: "list") -> "tuple[np.ndarray, np.ndarray]":
+    """(codes, uniq) for a batch of raw texts — pandas-fast, NUL-correct.
+
+    pandas 2.x hashes/compares ``str`` objects as C strings: everything
+    after an embedded ``\\x00`` is ignored, so ``pd.factorize`` silently
+    merges ``'A\\x00B'`` with ``'A'`` — which would scatter the WRONG
+    text's scores in the exact-duplicate shortcuts. NUL-free batches (all
+    real-world text) keep the O(n) hash factorize; a batch containing any
+    NUL falls back to sort-based ``np.unique`` (correct for arbitrary
+    codepoints), with non-str rows coerced to ``''`` (identical downstream:
+    no tokens → invalid → C7)."""
+    import pandas as pd
+
+    if any(isinstance(t, str) and "\x00" in t for t in texts):
+        arr = np.asarray(
+            [t if isinstance(t, str) else "" for t in texts], dtype=object
+        )
+        uniq, codes = np.unique(arr, return_inverse=True)
+        return codes, uniq
+    arr = np.asarray(list(texts), dtype=object)
+    codes, uniq = pd.factorize(arr, use_na_sentinel=False)
+    return codes, uniq
+
+
 def _hash_windows(buf: np.ndarray, wstart: np.ndarray, t: int) -> np.ndarray:
     """FNV-1a + splitmix over all fixed-width-t windows (P5 shingles) of a
     codepoint buffer; every window is exactly t chars so no masking."""
@@ -531,11 +555,7 @@ class Scorer:
             # (bit-identical by construction). Factorize costs ~ms per 10k
             # batch; only recurse when it at least halves the work.
             if n > 16:
-                import pandas as pd
-
-                codes, uniq = pd.factorize(
-                    np.asarray(list(texts), dtype=object), use_na_sentinel=False
-                )
+                codes, uniq = _factorize_texts(texts)
                 if 2 * len(uniq) <= n:
                     pts_u, valid_u, cjk_u = self.score_batch(list(uniq))
                     return pts_u[codes], valid_u[codes], cjk_u[codes]
@@ -710,11 +730,7 @@ class Scorer:
         # distinct text once and scatter (the winner of a text is a function
         # of the text, so winner_idx at the first occurrence is THE winner)
         if n > 16:
-            import pandas as pd
-
-            codes, uniq = pd.factorize(
-                np.asarray(list(texts), dtype=object), use_na_sentinel=False
-            )
+            codes, uniq = _factorize_texts(texts)
             if 2 * len(uniq) <= n:
                 _, fidx = np.unique(codes, return_index=True)
                 return self.word_nll_batch(list(uniq), winner_idx[fidx])[codes]
@@ -948,26 +964,47 @@ class Scorer:
     def identify_topk_batch(self, texts, k: int):
         """C6 batched: per text, top-k (collapsed lang, raw score) — one
         ``score_batch`` call for the whole Arrow batch (identifier.rs:101-136),
-        then a cheap per-row collapse-dedup scan that exits after k hits."""
+        then a VECTORIZED collapse-dedup (VERDICT r04 #7): the reference's
+        per-row scan keeps the FIRST occurrence of each collapsed lang in
+        (score asc, enum) order; first-occurrence is recovered batch-wide
+        from one stable radix sort of (row, collapsed) int32 keys — same
+        semantics (stable ⇒ scan order preserved within each (row, lang)
+        group), no 242-iteration Python loop per row."""
         points, valid, _ = self.score_batch(list(texts))
+        n = len(points)
         orders = np.argsort(points, axis=1, kind="stable")  # ties keep enum order
+        c = _COLLAPSE_I[orders]  # n×242 collapsed ids, scan order
+        # (row, collapsed) keys: first position of each distinct key per row
+        # is exactly the entry the reference scan would keep
+        key = (np.arange(n, dtype=np.int32)[:, None] << np.int32(8)) | c.astype(
+            np.int32
+        )
+        flat = key.ravel()
+        pos = np.argsort(flat, kind="stable")
+        ks = flat[pos]
+        first_sorted = np.empty(flat.size, dtype=bool)
+        if flat.size:
+            first_sorted[0] = True
+            np.not_equal(ks[1:], ks[:-1], out=first_sorted[1:])
+        first = np.empty(flat.size, dtype=bool)
+        first[pos] = first_sorted
+        first = first.reshape(n, -1)
+        # rank within row among kept entries; k <= 0 ⇒ empty rows
+        # (reference rank_langs returns [] for k <= 0)
+        sel = first & (np.cumsum(first, axis=1) <= k)
+        rsel, csel = np.nonzero(sel)
+        l_sel = LANGS_ARR[c[rsel, csel]]
+        s_sel = np.take_along_axis(points, orders, axis=1)[rsel, csel]
+        bounds = np.searchsorted(rsel, np.arange(n + 1))
         out: "list[list[tuple[str, float]]]" = []
-        for r in range(len(points)):
+        for r in range(n):
             if not valid[r]:
                 out.append([("zxx", float(PENALTY))])
                 continue
-            p = points[r]
-            row: "list[tuple[str, float]]" = []
-            seen: set = set()
-            for i in orders[r]:
-                if len(row) >= k:  # BEFORE append: reference rank_langs
-                    break          # returns [] for k <= 0
-                c = int(COLLAPSE[i])
-                if c in seen:
-                    continue
-                seen.add(c)
-                row.append((str(LANGS_ARR[c]), float(p[i])))
-            out.append(row)
+            lo, hi = int(bounds[r]), int(bounds[r + 1])
+            out.append(
+                [(str(l_sel[j]), float(s_sel[j])) for j in range(lo, hi)]
+            )
         return out
 
     def identify_topk(self, text: str, k: int):

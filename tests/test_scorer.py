@@ -118,6 +118,31 @@ def test_duplicate_texts_identical_results(fast_scorer):
         assert float(c1[i]) == float(c2[0])
 
 
+def test_duplicate_shortcut_nul_bytes_not_merged(fast_scorer):
+    """pandas 2.x hashes str objects as C strings — everything after an
+    embedded NUL is invisible to pd.factorize, so '\\x00A' used to merge
+    with '' in the exact-duplicate shortcut and scatter the WRONG rows'
+    scores (hypothesis-found, pinned here deterministically). The NUL
+    fallback must keep such texts distinct AND stay batch-shape invariant."""
+    from heliport_spark.heli import Scorer, _factorize_texts
+
+    import numpy as np
+
+    # the factorize helper itself: NUL texts stay distinct
+    codes, uniq = _factorize_texts(["", "\x00A", "A\x00", "A", "\x00"] * 4)
+    assert len(uniq) == 5
+    assert len(set(codes[:5])) == 5
+
+    base = ["", "", "", "\x00A"]
+    big = base * 5  # n > 16 and 2·uniq ≤ n → shortcut fires
+    l1, s1, r1, c1, w1 = fast_scorer.identify_batch(big, with_word_nll=True)
+    ref = Scorer(fast_scorer.model)
+    l0, s0, r0, c0, w0 = ref.identify_batch(base, with_word_nll=True)
+    assert list(l1[:4]) == list(l0)
+    assert [float(x) for x in s1[:4]] == [float(x) for x in s0]
+    assert np.array_equal(w1[:4], w0)
+
+
 def test_topk_k_zero_empty():
     s = Scorer()
     assert s.identify_topk("hello world", 0) == []
