@@ -223,10 +223,23 @@ def run_scaling() -> dict:
     state_path = os.environ.get(
         "SPARK_GRAFT_SCALE_STATE", f"/tmp/heliport_scaling_state_{_sf_label(SF_DIR)}.json"
     )
-    # Version-key the resume state to the input table identity: legs recorded
-    # against a different scaling input (e.g. the pre-salting v1 clips) must
-    # not be min-merged with fresh measurements (ADVICE r02).
-    version = SCALING_CLIPS
+    # Version-key the resume state to the input table identity AND the code
+    # revision: legs recorded against a different scaling input (e.g. the
+    # pre-salting v1 clips) must not be min-merged with fresh measurements
+    # (ADVICE r02), and legs measured on an older engine revision must not
+    # be reported as the current one's (round 5: a code-only change reused
+    # a round-4 ladder verbatim because only the input was keyed).
+    try:
+        import subprocess
+
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except OSError:
+        rev = "unknown"
+    version = f"{SCALING_CLIPS}@{rev}"
     state: dict = {}
     if os.path.exists(state_path):
         try:
