@@ -140,8 +140,15 @@ def streaming_exact_dedup(
     # presence marker, not a counter: a per-duplicate count would force a
     # state-store WRITE on every already-seen fingerprint per trigger while
     # no output ever surfaces it — one write at first sight is the honest
-    # (and O(new keys), not O(touched keys)) state contract
-    state_schema = StructType([StructField("seen", LongType())])
+    # (and O(new keys), not O(touched keys)) state contract in
+    # processing-time mode. EVENT mode also persists the key's RUNNING max
+    # event time (max_evt): the TTL horizon is "last event + ttl" over the
+    # key's WHOLE history, and out-of-order on-time arrivals must never
+    # SHRINK a horizon already granted by a later-stamped event — that
+    # costs a state write when (and only when) the max advances.
+    state_schema = StructType(
+        [StructField("seen", LongType()), StructField("max_evt", LongType())]
+    )
 
     event_mode = event_time_col is not None
     if event_mode:
@@ -158,24 +165,32 @@ def streaming_exact_dedup(
         batch = pd.concat(chunks) if chunks else pd.DataFrame(
             columns=[id_col, text_col, "fp"]
         )
+        wm = state.getCurrentWatermarkMs() if event_mode else 0
         if event_mode and len(batch):
             # drop late-beyond-watermark rows: they must not survive dedup,
             # seed state, or extend an existing key's event-time TTL
-            batch = batch[batch["_evt"] >= state.getCurrentWatermarkMs()]
+            batch = batch[batch["_evt"] >= wm]
         n_new = len(batch)
+        # running max event time: horizon = ttl past the LATEST event ever
+        # seen for this key — an out-of-order on-time arrival (evt below a
+        # previously seen one) must not shrink the horizon
+        prev_max = int(state.get[1]) if (event_mode and state.exists) else -1
+        run_max = (
+            max(prev_max, int(batch["_evt"].max()))
+            if (event_mode and n_new) else prev_max
+        )
         if not state.exists:
             if n_new:
-                state.update((1,))
+                state.update((1, run_max if event_mode else 0))
                 # deterministic survivor: min id within the first batch
                 yield batch.sort_values(id_col)[[id_col, text_col, "fp"]].iloc[[0]]
+        elif event_mode and run_max > prev_max:
+            state.update((1, run_max))
         if event_mode:
             if n_new:
                 # expire when the watermark passes last on-time event + ttl
                 # (never at/below the current watermark — Spark rejects it)
-                state.setTimeoutTimestamp(
-                    max(int(batch["_evt"].max()) + ttl_ms,
-                        state.getCurrentWatermarkMs() + 1)
-                )
+                state.setTimeoutTimestamp(max(run_max + ttl_ms, wm + 1))
         elif ttl_ms is not None:
             # refreshed every touched batch: TTL counts from last activity
             state.setTimeoutDuration(ttl_ms)
@@ -302,6 +317,7 @@ def streaming_minhash_candidates(
     from pyspark.sql.streaming.state import GroupState
     from pyspark.sql.types import (
         ArrayType,
+        LongType,
         StringType,
         StructField,
         StructType,
@@ -312,7 +328,14 @@ def streaming_minhash_candidates(
     out_schema = StructType(
         [StructField("id_a", StringType()), StructField("id_b", StringType())]
     )
-    state_schema = StructType([StructField("ids", ArrayType(StringType()))])
+    # max_evt: the bucket's running max on-time event time — see
+    # streaming_exact_dedup's state comment (horizon must never shrink)
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(StringType())),
+            StructField("max_evt", LongType()),
+        ]
+    )
 
     event_mode = event_time_col is not None
     if event_mode:
@@ -323,6 +346,7 @@ def streaming_minhash_candidates(
             state.remove()
             return
         ids: "list[str]" = list(state.get[0]) if state.exists else []
+        prev_max = int(state.get[1]) if (event_mode and state.exists) else -1
         out_a: "list[str]" = []
         out_b: "list[str]" = []
         wm = state.getCurrentWatermarkMs() if event_mode else 0
@@ -348,12 +372,13 @@ def streaming_minhash_candidates(
                         ids.append(new_id)
         if event_mode:
             if max_evt >= 0:  # only on-time activity refreshes the horizon
-                state.update((ids,))
-                state.setTimeoutTimestamp(max(max_evt + ttl_ms, wm + 1))
+                run_max = max(prev_max, max_evt)
+                state.update((ids, run_max))
+                state.setTimeoutTimestamp(max(run_max + ttl_ms, wm + 1))
             elif not state.exists:
                 return  # all-late batch must not seed state
         else:
-            state.update((ids,))
+            state.update((ids, 0))
             if ttl_ms is not None:
                 state.setTimeoutDuration(ttl_ms)
         if out_a:
@@ -598,10 +623,13 @@ def streaming_minhash_verified(
             StructField("est_jaccard", DoubleType()),
         ]
     )
+    # max_evt: running max on-time event time — see streaming_exact_dedup's
+    # state comment (the TTL horizon must never shrink on out-of-order rows)
     state_schema = StructType(
         [
             StructField("ids", ArrayType(StringType())),
             StructField("sigs", ArrayType(ArrayType(LongType()))),
+            StructField("max_evt", LongType()),
         ]
     )
 
@@ -614,11 +642,13 @@ def streaming_minhash_verified(
             state.remove()
             return
         if state.exists:
-            st_ids, st_sigs = state.get
+            st_ids, st_sigs, st_max = state.get
             ids = list(st_ids)
             sigs = [list(s) for s in st_sigs]
+            prev_max = int(st_max) if event_mode else -1
         else:
             ids, sigs = [], []
+            prev_max = -1
         out_a, out_b, out_e = [], [], []
         wm = state.getCurrentWatermarkMs() if event_mode else 0
         max_evt = -1
@@ -648,12 +678,13 @@ def streaming_minhash_verified(
                     sigs.append(new_sig)
         if event_mode:
             if max_evt >= 0:  # only on-time activity refreshes the horizon
-                state.update((ids, sigs))
-                state.setTimeoutTimestamp(max(max_evt + ttl_ms, wm + 1))
+                run_max = max(prev_max, max_evt)
+                state.update((ids, sigs, run_max))
+                state.setTimeoutTimestamp(max(run_max + ttl_ms, wm + 1))
             elif not state.exists:
                 return  # all-late batch must not seed state
         else:
-            state.update((ids, sigs))
+            state.update((ids, sigs, 0))
             if ttl_ms is not None:
                 state.setTimeoutDuration(ttl_ms)
         if out_a:

@@ -566,6 +566,87 @@ def test_streaming_dedup_event_time_watermark(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_streaming_dedup_event_horizon_never_shrinks(spark):
+    """Out-of-order ON-TIME arrivals must not shrink a key's event-time TTL
+    horizon: after alpha@2000s (horizon 2200s at ttl=200s), a second
+    on-time alpha@1995s used to reset the horizon to 2195s (the buggy
+    last-BATCH max) — advancing the watermark to 2197s then expired the
+    key and a recurrence was wrongly re-admitted. With the running max
+    persisted in state the horizon stays 2200s and the recurrence at
+    wm=2198s is still suppressed."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from heliport_spark.streaming.stream import streaming_exact_dedup
+
+    base_t = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(sec):
+        return base_t + dt.timedelta(seconds=sec)
+
+    schema = StructType(
+        [
+            StructField("clip_id", StringType()),
+            StructField("transcript", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="hs_evt_shrink_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+
+    def feed(q, rows, mode="append"):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            mode
+        ).parquet(in_dir)
+        q.processAllAvailable()
+
+    try:
+        spark.createDataFrame(
+            [("a1", "alpha", ts(2000)), ("w1", "wmark", ts(2000))], schema
+        ).coalesce(1).write.mode("overwrite").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 100)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming_exact_dedup(
+                stream,
+                ttl_ms=200_000,
+                event_time_col="ts",
+                watermark_delay="10 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # wm -> 1990 s; alpha horizon 2200 s
+            # on-time OUT-OF-ORDER duplicate (1995 >= wm 1990, < 2000):
+            # must not shrink the horizon to 1995+200 = 2195 s
+            feed(q, [("a2", "alpha", ts(1995))])
+            # advance wm to 2197 s — past the buggy horizon, short of 2200
+            feed(q, [("f1", "foxtrot", ts(2207))])
+            # expiry-sweep batch (wm -> 2198 s); alpha must survive it
+            feed(q, [("h1", "hotel", ts(2208))])
+            # recurrence while the true horizon is still open: suppressed
+            feed(q, [("a3", "alpha", ts(2209))])
+        finally:
+            q.stop()
+        got = {r["clip_id"] for r in spark.read.parquet(out_dir).collect()}
+        assert got == {"a1", "w1", "f1", "h1"}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_streaming_event_mode_requires_ttl_and_delay(spark):
     """Event-time mode without a watermark delay or ttl is a contract
     error, not a silent processing-time fallback."""
