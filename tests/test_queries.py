@@ -52,6 +52,63 @@ def test_rows_only_queries_run(name, spark):
             ), f"{name}.{c} is not a flat scalar column"
 
 
+_CAP_ORACLES = [
+    n for n in (
+        "dedup_minhash_lsh",
+        "simhash_pairs",
+        "dedup_minhash_estimate",
+        "dedup_materialize",
+    ) if n in _ORACLES
+]
+
+
+@pytest.mark.parametrize("name", _CAP_ORACLES)
+def test_oracle_match_in_overflow_regime(name, spark, tmp_path_factory):
+    """The MAX_BUCKET cap's DuckDB mirror (row_number + representative-link
+    UNION) is only meaningful ABOVE the cap — and sf0.01 never overflows a
+    bucket, so the driver's green rows exercise only the identity regime.
+    This fixture piles 350 exact-dup docs (> MAX_BUCKET=256) into one
+    bucket plus 150 distinct docs and re-runs the full Spark-vs-DuckDB
+    comparison there."""
+    import shutil as sh
+
+    base = tmp_path_factory.mktemp("overflow_sf")
+    for t in entrymod.TABLES:
+        sh.copy(f"{SF}/{t}.parquet", base / f"{t}.parquet")
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, dup, "eng", "synth", len(dup)) for i in range(350)] + [
+        (
+            350 + j,
+            f"distinct document number {j} with some variable words "
+            f"{'x' * (j % 7)} {j * 17} content tail",
+            "eng",
+            "synth",
+            40,
+        )
+        for j in range(150)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(base / "documents.parquet"))
+    con = duckdb.connect()
+    try:
+        con.execute("SET TimeZone='UTC'")
+        for t in entrymod.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{base}/{t}.parquet/*.parquet')"
+                if t == "documents"
+                else f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{base}/{t}.parquet')"
+            )
+        sp = _QUERIES[name](spark, str(base)).toPandas()
+        dp = con.execute(_ORACLES[name]).df()
+        assert compare_frames(sp, dp) == []
+        assert len(sp) > 0
+    finally:
+        con.close()
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.limit(20).collect()
