@@ -31,6 +31,8 @@ or single-shuffle sorted aggregations (percentile).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -141,6 +143,137 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 8,
     )
 
 
+def decontaminate_bloom(df: DataFrame, benchmark: DataFrame, n: int = 8,
+                        m_bits: int = 1 << 23, k: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB scale path of
+    :func:`decontaminate`: the benchmark's n-gram set is compressed into an
+    ``m_bits``-bit Bloom filter (``k`` portable md5-derived hash functions)
+    that is collected once (m_bits/64 longs — 1 MiB at the 2^23 default,
+    bounded by construction like the langid model broadcast) and broadcast,
+    so the CORPUS side never shuffles: each corpus gram is probed map-side
+    by a vectorized pandas UDF over its k precomputed bit positions. Output
+    (id, n_maybe_shared) — a SUPERSET of the exact operator's contaminated
+    ids (Bloom filters have no false negatives; the false-positive rate is
+    ≈ (1-e^(-k·n_grams/m_bits))^k — size m_bits ≥ ~8× the benchmark gram
+    count for <3% FP). Use the exact join when the benchmark side is small
+    enough to broadcast as strings; use this when it is not (real benchmark
+    suites reach 10^7+ grams ≈ GBs of strings vs a fixed-size bitmap).
+
+    Deterministic and engine-portable: positions use the same md5-derived
+    h60 as every other oracle-checked hash primitive, so a DuckDB twin can
+    replay the exact bit-membership semantics (position-set join)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.text import word_ngrams_exploded
+    from .dedup import h60
+
+    def positions(gram):
+        # salt each of the k hash functions via a distinct prefix; h60 is
+        # non-negative (60-bit) so % == pmod on both engines
+        return [
+            F.pmod(h60(F.concat_ws("#", F.lit(str(j)), gram)), F.lit(m_bits))
+            for j in range(k)
+        ]
+
+    bench_pos = (
+        word_ngrams_exploded(benchmark, n, text_col=text_col, id_col=id_col)
+        .select("gram")
+        .distinct()
+        .select(F.explode(F.array(*positions(F.col("gram")))).alias("pos"))
+        .distinct()
+    )
+    words = (
+        bench_pos.groupBy(F.shiftright(F.col("pos"), 6).alias("wi"))
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").alias("bits"))
+        .collect()
+    )
+    bitmap = np.zeros(m_bits >> 6, dtype=np.int64)
+    for r in words:
+        bitmap[r["wi"]] = r["bits"]
+    bc = df.sparkSession.sparkContext.broadcast(bitmap)
+
+    grams = word_ngrams_exploded(
+        df, n, text_col=text_col, id_col=id_col
+    ).distinct()
+    cand = grams.select(
+        "id", *[p.alias(f"p{j}") for j, p in enumerate(positions(F.col("gram")))]
+    )
+
+    @pandas_udf("boolean")
+    def maybe_in(col: pd.Series) -> pd.Series:
+        bits = bc.value
+        p = col.to_numpy(np.int64)
+        # arithmetic >> keeps the target bit's value; & 1 masks the rest
+        return pd.Series(((bits[p >> 6] >> (p & 63)) & 1).astype(bool))
+
+    # one single-Series probe per hash function, ANDed JVM-side — varargs
+    # pandas UDF signatures are not supported, and k probes of the same
+    # Arrow batch cost the same as one k-column probe would
+    probe = maybe_in(F.col("p0"))
+    for j in range(1, k):
+        probe = probe & maybe_in(F.col(f"p{j}"))
+    return (
+        cand.filter(probe)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_maybe_shared"))
+    )
+
+
+def remove_boilerplate_lines(df: DataFrame, min_docs: int = 2,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             line_sep: str = r"\n",
+                             join_sep: str = "\n") -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    step): split each document into lines, count the number of DISTINCT
+    documents each exact line occurs in, drop every line occurring in
+    ≥ ``min_docs`` docs (nav bars, cookie banners, footers), and reassemble
+    the surviving lines in their original order. Output one row per input
+    doc: (id_col, text_clean, n_lines, n_removed) — a doc whose every line
+    is boilerplate survives with text_clean = ''.
+
+    Scale shape: one posexplode → distinct (line, id) → line hash-agg with
+    map-side combine (T1's shuffle shape); the frequent-line set is the
+    heavy-hitter TAIL of that aggregate (tiny by construction — only lines
+    repeated across ≥ min_docs docs), so AQE broadcasts the marker join;
+    reassembly is one groupBy(id) whose collect_list is bounded by the
+    original document length. No self-join, no all-pairs."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("i", "line"),
+    )
+    hot = (
+        lines.select("line", "id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line", F.lit(1).alias("boiler"))
+    )
+    marked = lines.join(hot, "line", "left")
+    kept_struct = F.when(
+        F.col("boiler").isNull(), F.struct(F.col("i"), F.col("line"))
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.concat_ws(
+                join_sep,
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count("boiler").alias("n_removed"),
+        )
+        .select(
+            F.col("id").alias(id_col), "text_clean", "n_lines", "n_removed"
+        )
+    )
+
+
 def ngram_repetition(df: DataFrame, n: int = 2, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Per-document duplicated word-n-gram fraction — the WITHIN-doc
@@ -231,6 +364,56 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
         .withColumn("cum_before", F.coalesce(cum_before, F.lit(0)))
         .filter(F.col("cum_before") < budget_tokens)
         .select(*group_cols, id_col, "n_tokens")
+    )
+
+
+def pack_sequences(df: DataFrame, seq_len: int = 2048,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   group_cols: "tuple[str, ...]" = ("source",)) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the GPT-style pretraining
+    step that turns variable-length documents into fixed-``seq_len`` token
+    windows): stream the documents of each group back-to-back in ``id_col``
+    order and record, for each doc, the window its FIRST token lands in
+    (``seq_id = ⌊cum_before / seq_len⌋``) and the offset inside that window
+    (``seq_off = cum_before % seq_len``). A doc longer than the remaining
+    window space spills into the next window(s) — exactly the
+    concatenate-then-cut semantics of packed pretraining batches (no
+    padding, no doc reordering). Output (group_cols…, id_col, n_tokens,
+    seq_id, seq_off); the global sequence key is (group_cols…, seq_id).
+
+    Deterministic on any engine/run/partitioning: the order is the id, not
+    a hash, because packing must preserve corpus order within a shard.
+
+    Scale shape: ONE window shuffle partitioned by ``group_cols`` — the
+    running sum and the projection share it. The window is per-group, so
+    parallelism is the number of groups (shards/sources); at 100 TB pack
+    per file-shard (the natural unit — each shard's windows are
+    independent), never with a global single-partition window."""
+    from pyspark.sql import Window
+
+    from ..functions.text import n_tokens
+
+    w = Window.partitionBy(*group_cols).orderBy(F.col(id_col).asc())
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        df.select(
+            *[F.col(g) for g in group_cols],
+            F.col(id_col),
+            n_tokens(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("cum_before", cum_before)
+        .select(
+            *group_cols,
+            id_col,
+            "n_tokens",
+            # integer DIV, not float /: a group's running token count can
+            # exceed 2^53 at scale and a double quotient would misbin
+            F.expr(f"cum_before DIV {int(seq_len)}").alias("seq_id"),
+            (F.col("cum_before") % F.lit(seq_len)).alias("seq_off"),
+        )
     )
 
 

@@ -804,6 +804,125 @@ def test_token_budget_sample(spark):
     assert b == got
 
 
+def test_remove_boilerplate_lines(spark):
+    """CCNet-style line dedup: a line in ≥ min_docs distinct docs is removed
+    from EVERY doc, surviving lines keep their original order, a doc whose
+    every line is boilerplate survives as '', and a line repeated WITHIN one
+    doc counts that doc once (kept, both copies). Partitioning-invariant."""
+    from heliport_spark.operators.corpus import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\ncookie banner\nbeta"),
+            (2, "cookie banner\ngamma"),
+            (3, "delta\ncookie banner"),
+            (4, "unique only"),
+            (5, "cookie banner"),
+            (6, "solo\nsolo"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(docs).collect()
+    }
+    assert out == {
+        1: ("alpha\nbeta", 3, 1),
+        2: ("gamma", 2, 1),
+        3: ("delta", 2, 1),
+        4: ("unique only", 1, 0),
+        5: ("", 1, 1),          # all-boilerplate doc survives, empty
+        6: ("solo\nsolo", 2, 0),  # within-doc repeat is NOT cross-doc
+    }
+    again = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(docs.repartition(7)).collect()
+    }
+    assert again == out
+    # min_docs=4: only the 4-doc banner is hot; 3-doc lines would survive
+    strict = {
+        r["doc_id"]: r["n_removed"]
+        for r in remove_boilerplate_lines(docs, min_docs=5).collect()
+    }
+    assert strict == {1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0}
+
+
+def test_pack_sequences(spark):
+    """Concatenate-and-chunk packing: seq_id is the window of the doc's
+    first token, seq_off the offset inside it, groups pack independently,
+    long docs spill across windows, and the assignment is invariant under
+    physical repartitioning."""
+    from heliport_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "g1", "w " * 3),
+            (2, "g1", "w " * 5),
+            (3, "g1", "w " * 4),
+            (4, "g1", "w " * 2),
+            (10, "g2", "w " * 15),   # spans windows 0..2 on its own
+            (11, "g2", "w " * 1),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["seq_id"], r["seq_off"], r["n_tokens"])
+        for r in pack_sequences(docs, seq_len=6).collect()
+    }
+    assert out == {
+        1: (0, 0, 3),
+        2: (0, 3, 5),    # crosses into window 1; first token in window 0
+        3: (1, 2, 4),
+        4: (2, 0, 2),
+        10: (0, 0, 15),
+        11: (2, 3, 1),   # 15 tokens = windows 0,1 + 3 into window 2
+    }
+    again = {
+        r["doc_id"]: (r["seq_id"], r["seq_off"], r["n_tokens"])
+        for r in pack_sequences(docs.repartition(5), seq_len=6).collect()
+    }
+    assert again == out
+
+
+def test_decontaminate_bloom_superset_of_exact(spark):
+    """Bloom decontamination can only ADD false positives, never lose a
+    contaminated doc: at a generous m_bits the id set equals the exact
+    operator's; per-id the maybe-count bounds the exact shared count from
+    above; a saturated tiny filter flags every doc with ≥1 gram (the FP
+    direction, proving the filter is actually probabilistic)."""
+    from heliport_spark.operators.corpus import decontaminate, decontaminate_bloom
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs today"),
+            (3, "entirely disjoint vocabulary nothing shared here at all"),
+            (4, "the quick brown fox sat still"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high"),
+         (101, "pack my box with five dozen eggs")],
+        "doc_id bigint, text string",
+    )
+    exact = {r["id"]: r["n_shared"]
+             for r in decontaminate(corpus, bench, n=4).collect()}
+    bloom = {r["id"]: r["n_maybe_shared"]
+             for r in decontaminate_bloom(corpus, bench, n=4,
+                                          m_bits=1 << 20).collect()}
+    assert set(exact) <= set(bloom)
+    assert all(bloom[i] >= exact[i] for i in exact)
+    # generous filter on a tiny gram set: no false positives in practice
+    assert set(bloom) == set(exact)
+    # saturated filter (64 bits, 32 hashes → bench grams set ~every bit):
+    # even the fully-disjoint doc 3 is flagged — the FP direction, proving
+    # the filter is actually probabilistic rather than an exact join
+    sat = {r["id"] for r in
+           decontaminate_bloom(corpus, bench, n=4, m_bits=64, k=32).collect()}
+    assert sat == {1, 2, 3, 4}
+
+
 def test_temperature_resample_flattens_and_is_invariant(spark):
     """alpha<1 must flatten the skewed language mix (dominant language's
     share shrinks, rarest grows), quotas never exceed group sizes, and the
