@@ -701,6 +701,10 @@ def _doc_ngram_repetition(spark, sf):
 # (71 contaminated docs; 8-grams/sparser benchmarks matched zero rows)
 DECON_MOD = 11
 DECON_N = 4
+# Bloom decontamination: 2^20 bits vs ~15k benchmark grams → FP rate ~0 on
+# the fixture (oracle bit-exact); k=4 md5-salted hash functions.
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 4
 
 
 def _decontaminate(spark, sf):
@@ -712,6 +716,55 @@ def _decontaminate(spark, sf):
     bench = d.filter(F.col("doc_id") % DECON_MOD == 0)
     corpus = d.filter(F.col("doc_id") % DECON_MOD != 0)
     return decontaminate(corpus, bench, n=DECON_N)
+
+
+def _decontaminate_bloom(spark, sf):
+    """Bloom-filter decontamination — same corpus/benchmark split as
+    ``decontaminate`` but the benchmark gram set is compressed into a
+    broadcast bitmap probed map-side (the 100 TB path: the corpus side never
+    shuffles). At BLOOM_M_BITS = 2^20 on this fixture the filter has no
+    false positives, so the oracle (position-set join — the exact
+    bit-membership semantics) is bit-exact, and the superset/saturation
+    directions are pinned in tests/test_functions.py."""
+    from heliport_spark.operators.corpus import decontaminate_bloom
+
+    d = _docs_repart(spark, sf)
+    bench = d.filter(F.col("doc_id") % DECON_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % DECON_MOD != 0)
+    return decontaminate_bloom(corpus, bench, n=DECON_N,
+                               m_bits=BLOOM_M_BITS, k=BLOOM_K)
+
+
+# boilerplate-line removal driver params: the synthetic docs are single-line,
+# so each whitespace token is treated as a "line" (the operator's
+# line_sep/join_sep generality); min_docs=450 of 500 removes only the
+# near-universal tokens — the stopword-like boilerplate of this corpus.
+BOILER_MIN_DOCS = 450
+# sequence packing: windows of 64 tokens over ~35-token docs → most windows
+# span document boundaries, exercising the spill math.
+PACK_SEQ_LEN = 64
+
+
+def _boilerplate_lines(spark, sf):
+    """CCNet/RefinedWeb line-level boilerplate removal: drop every exact
+    line occurring in ≥ min_docs distinct documents, reassemble survivors
+    in original order."""
+    from heliport_spark.operators.corpus import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(
+        _docs_repart(spark, sf), min_docs=BOILER_MIN_DOCS,
+        line_sep=r"\s+", join_sep=" ",
+    )
+
+
+def _pack_sequences(spark, sf):
+    """GPT-style sequence packing: concatenate each source's docs in doc_id
+    order and record the fixed-size token window (seq_id) and offset
+    (seq_off) where each document starts."""
+    from heliport_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), seq_len=PACK_SEQ_LEN,
+                          group_cols=("source",))
 
 
 def _corpus_sketches(spark, sf):
@@ -818,6 +871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_split": _deterministic_split,
         "gopher_rules": _gopher_rules,
         "decontaminate": _decontaminate,
+        "decontaminate_bloom": _decontaminate_bloom,
+        "boilerplate_lines": _boilerplate_lines,
+        "pack_sequences": _pack_sequences,
         "quota_sample": _quota_sample,
         "temperature_resample": _temperature_resample,
         "doc_ngram_repetition": _doc_ngram_repetition,
@@ -850,6 +906,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": _revenue_rollup,
         "customer_set_ops": _customer_set_ops,
         "parts_never_ordered": _parts_never_ordered,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-checked queries OUTSIDE the driver's 50-entry correctness cap
+    (VERDICT r04 #2). These three TPC-H warm-ups duplicate shapes already
+    covered by registered queries (q1 = revenue_rollup's hash-agg, q3 =
+    top-k join, region_revenue = the multi-way broadcast join chain in
+    customer_set_ops/parts_never_ordered), so the driver slots go to real
+    operators instead; tests/test_queries.py still verifies these three
+    bit-exactly against extra_oracle_sql(), and bench.py still times them."""
+    return {
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
         "region_revenue": _region_revenue,
@@ -1033,28 +1101,6 @@ g AS (
 d AS (SELECT DISTINCT doc_id, gram FROM g)"""
 
     return {
-        "q1_pricing_summary": """
-SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
-       count(*) AS count_order
-FROM lineitem GROUP BY l_returnflag, l_linestatus""",
-        "q3_top_orders": """
-SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""",
-        "region_revenue": """
-SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       count(*) AS n_items
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name""",
         "events_sessions": """
 WITH g AS (
   SELECT user_id, value,
@@ -1306,6 +1352,60 @@ bench AS (SELECT DISTINCT gram FROM d WHERE doc_id % {DECON_MOD} = 0),
 corp AS (SELECT doc_id, gram FROM d WHERE doc_id % {DECON_MOD} <> 0)
 SELECT corp.doc_id AS id, count(*) AS n_shared
 FROM corp JOIN bench USING (gram) GROUP BY corp.doc_id""",
+        # Bloom decontamination oracle = the EXACT bit-membership semantics
+        # (position-set join): a corpus gram is "maybe shared" iff all
+        # BLOOM_K salted-md5 positions are set by some benchmark gram. At
+        # m=2^20 vs ~15k bench grams the filter has no false positives on
+        # this fixture, so this matches the Spark bitmap probe bit-exactly;
+        # the FP direction is pinned separately in tests (saturated filter).
+        "decontaminate_bloom": _gramn + f""",
+bench AS (SELECT DISTINCT gram FROM d WHERE doc_id % {DECON_MOD} = 0),
+corp AS (SELECT DISTINCT doc_id, gram FROM d WHERE doc_id % {DECON_MOD} <> 0),
+hs(j) AS (VALUES {", ".join(f"('{j}')" for j in range(BLOOM_K))}),
+bpos AS (SELECT DISTINCT
+           ('0x' || substr(md5(j || '#' || gram), 1, 15))::BIGINT % {BLOOM_M_BITS} AS pos
+         FROM bench CROSS JOIN hs),
+cpos AS (SELECT doc_id, gram,
+           ('0x' || substr(md5(j || '#' || gram), 1, 15))::BIGINT % {BLOOM_M_BITS} AS pos
+         FROM corp CROSS JOIN hs),
+hit AS (SELECT doc_id, gram FROM cpos JOIN bpos USING (pos)
+        GROUP BY doc_id, gram HAVING count(*) = {BLOOM_K})
+SELECT doc_id AS id, count(*) AS n_maybe_shared FROM hit GROUP BY doc_id""",
+        "boilerplate_lines": f"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+l AS (SELECT doc_id, i, toks[i::INT] AS line
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM w)),
+hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd
+                          FROM l GROUP BY line) t
+        WHERE nd >= {BOILER_MIN_DOCS}),
+m AS (SELECT l.doc_id, l.i, l.line, (hot.line IS NOT NULL) AS boiler
+      FROM l LEFT JOIN hot ON l.line = hot.line)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT boiler THEN line END, ' ' ORDER BY i),
+                '') AS text_clean,
+       count(*) AS n_lines,
+       sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_removed
+FROM m GROUP BY doc_id""",
+        "pack_sequences": f"""
+WITH t AS (
+  SELECT source, doc_id,
+         (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+               ELSE len(string_split_regex(
+                        regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+          END)::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT source, doc_id, n_tokens,
+       (cum_before // {PACK_SEQ_LEN})::BIGINT AS seq_id,
+       (cum_before % {PACK_SEQ_LEN})::BIGINT AS seq_off
+FROM c""",
         "quota_sample": """
 WITH r AS (
   SELECT source, doc_id,
@@ -1399,4 +1499,33 @@ s AS (SELECT id_a, id_b,
         round(sum(ae * be) / (sqrt(sum(ae * ae)) * sqrt(sum(be * be))), 4) AS sim
       FROM px GROUP BY id_a, id_b)
 SELECT id_a, id_b, sim FROM s WHERE sim >= 0.4""",
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """DuckDB twins for :func:`extra_queries` — bit-exactness still enforced
+    by tests/test_queries.py, just outside the driver's 50-entry cap."""
+    return {
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "q3_top_orders": """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        "region_revenue": """
+SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name""",
     }

@@ -56,7 +56,7 @@ def run_bench() -> dict:
 
     spark = get_spark(app_name="heliport_spark_bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
     # JVM/model warmup on the tiny sf so first-query timing isn't JIT noise
     # (fall back to SF_DIR when the driver fixture path doesn't exist on
     # this host — the warmup must never be the thing that crashes the bench)

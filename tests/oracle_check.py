@@ -92,8 +92,8 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
+    oracles = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

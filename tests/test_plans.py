@@ -28,7 +28,7 @@ def test_filter_pushdown_and_column_pruning(spark):
 def test_broadcast_join_for_small_dims(spark):
     import __spark_entry__ as e
 
-    plan = plan_of(e.queries()["region_revenue"](spark, SF))
+    plan = plan_of(e.extra_queries()["region_revenue"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
     assert "SortMergeJoin" not in plan
 
