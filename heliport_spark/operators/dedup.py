@@ -209,12 +209,10 @@ def capped_bucket_pairs(entries: DataFrame, bucket_cols: "list[str]",
     return within if overflow is None else within.unionByName(overflow)
 
 
-def _band_candidates(mh: DataFrame, bands: int,
-                     max_bucket: "int | None" = MAX_BUCKET) -> DataFrame:
-    """(id_a, id_b) candidate pairs from a wide minhash frame: all band
-    signatures in ONE projection + explode (a per-band select+union would
-    re-execute the minhash aggregate once per band), then the banded
-    equi-self-join with the hot-bucket cap."""
+def _band_sigs(mh: DataFrame, bands: int) -> DataFrame:
+    """(id, band, sig) rows from a wide minhash frame: all band signatures
+    in ONE projection + explode (a per-band select+union would re-execute
+    the minhash aggregate once per band)."""
     rows_per_band = len(MINHASH_PARAMS) // bands
     band_structs = []
     for band in range(bands):
@@ -227,11 +225,17 @@ def _band_candidates(mh: DataFrame, bands: int,
                 F.lit(band).alias("band"), F.concat_ws(",", *cols).alias("sig")
             )
         )
-    sig = mh.select("id", F.explode(F.array(*band_structs)).alias("bs")).select(
+    return mh.select("id", F.explode(F.array(*band_structs)).alias("bs")).select(
         "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+
+
+def _band_candidates(mh: DataFrame, bands: int,
+                     max_bucket: "int | None" = MAX_BUCKET) -> DataFrame:
+    """(id_a, id_b) candidate pairs from a wide minhash frame: band-sig
+    explode, then the banded equi-self-join with the hot-bucket cap."""
     return (
-        capped_bucket_pairs(sig, ["band", "sig"], max_bucket)
+        capped_bucket_pairs(_band_sigs(mh, bands), ["band", "sig"], max_bucket)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -248,6 +252,87 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     return _band_candidates(
         _minhash_wide(df, text_col, id_col, n_shingle), bands, max_bucket
     )
+
+
+def cross_corpus_candidates(df_new: DataFrame, df_ref: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            n_shingle: int = 5, bands: int = LSH_BANDS,
+                            max_bucket: "int | None" = MAX_BUCKET) -> DataFrame:
+    """Incremental-dedup candidates: (id_new, id_ref) pairs where a NEW
+    document shares a MinHash band signature with an already-curated
+    REFERENCE document. This is the two-corpus twin of
+    :func:`minhash_lsh_candidates` — the batch answer to "dedup today's
+    crawl against everything already shipped" (the streaming stateful op
+    answers the same question trigger-by-trigger).
+
+    Scale shape: both sides project to (id, band, sig) and meet in ONE
+    equi-join on the band key — the reference corpus is the big side and is
+    NEVER self-joined, so emission is |matches|, not O(|ref|²). Hot buckets
+    follow the MAX_BUCKET doctrine on BOTH sides: the first ``max_bucket``
+    members of each side (by id) pair exhaustively (≤ k·k per bucket), and
+    every overflow NEW member emits exactly ONE pair with the bucket's
+    FIRST ref id (the representative link) — so every new duplicate is
+    still flagged and per-bucket emission is k² + (n_new − k), linear
+    beyond the cap. Ref-side overflow members are dropped from the pair
+    list (the kept k plus the representative already witness the bucket);
+    only pair multiplicity is lost, never the hit/no-hit signal."""
+    sn = _band_sigs(_minhash_wide(df_new, text_col, id_col, n_shingle), bands)
+    sr = _band_sigs(_minhash_wide(df_ref, text_col, id_col, n_shingle), bands)
+    if max_bucket is None:
+        pairs = sn.alias("n").join(sr.alias("r"), ["band", "sig"]).select(
+            F.col("n.id").alias("id_new"), F.col("r.id").alias("id_ref")
+        )
+    else:
+        w = Window.partitionBy("band", "sig").orderBy("id")
+        # ref representative = min id per bucket: a tiny map-side-combinable
+        # aggregate, NOT a window over the big side
+        rep = sr.groupBy("band", "sig").agg(F.min("id").alias("rep_id"))
+        sr_kept = (
+            sr.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_bucket)
+            .drop("_rk")
+        )
+        sn_ranked = sn.withColumn("_rk", F.row_number().over(w))
+        sn_kept = sn_ranked.filter(F.col("_rk") <= max_bucket).drop("_rk")
+        sn_over = sn_ranked.filter(F.col("_rk") > max_bucket).drop("_rk")
+        pairs = (
+            sn_kept.alias("n")
+            .join(sr_kept.alias("r"), ["band", "sig"])
+            .select(
+                F.col("n.id").alias("id_new"), F.col("r.id").alias("id_ref")
+            )
+            .unionByName(
+                sn_over.join(rep, ["band", "sig"]).select(
+                    F.col("id").alias("id_new"),
+                    F.col("rep_id").alias("id_ref"),
+                )
+            )
+        )
+    return pairs.distinct()
+
+
+def incremental_dedup(df_new: DataFrame, df_ref: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_shingle: int = 5, bands: int = LSH_BANDS) -> DataFrame:
+    """NEW documents that survive dedup against the reference corpus: drops
+    every new doc with at least one :func:`cross_corpus_candidates` hit.
+    Left-anti join on the flagged ids — the standard admission gate for
+    appending a crawl snapshot to an already-deduped corpus.
+
+    The keep/drop decision is computed WITHOUT any bucket cap and is still
+    linear: the reference side collapses to ONE representative row per
+    (band, sig) before the join (hit/no-hit only needs a witness, not the
+    pair multiplicity), so the decision is bit-identical to the uncapped
+    join at any skew — no recall consequence, unlike the pair-listing op."""
+    sn = _band_sigs(_minhash_wide(df_new, text_col, id_col, n_shingle), bands)
+    sr = _band_sigs(_minhash_wide(df_ref, text_col, id_col, n_shingle), bands)
+    rep = sr.groupBy("band", "sig").agg(F.min("id").alias("rep_id"))
+    hits = (
+        sn.join(rep, ["band", "sig"])
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return df_new.join(hits, id_col, "left_anti")
 
 
 def _minhash_wide_salted(df: DataFrame, text_col: str, id_col: str,
@@ -422,6 +507,147 @@ def duplicate_ngram_spans(df: DataFrame, n: int = 8, min_docs: int = 2,
         # SELECT DISTINCT the same way)
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD '03 — the MOSS fingerprinter):
+# hash every k-char gram of the normalized text, slide a window of w
+# consecutive gram hashes, and select each window's minimum (rightmost
+# occurrence on ties). The selected (position, hash) set is the document's
+# local fingerprint: any substring shared between two documents of length
+# >= w + k - 1 chars is GUARANTEED to contribute at least one selected
+# fingerprint to both, at an expected density of only 2/(w+1) of the grams.
+# This is the sub-document / substring-level dedup signal the whole-doc md5
+# (functions.text.fingerprint) and set-level MinHash can't give.
+# (Engine-side addition: the reference fingerprints whole lines only —
+# src/identifier.rs has no sub-document dedup.)
+WINNOW_K = 5
+WINNOW_W = 4
+# Key packing: 40-bit gram hash (first 10 md5 hex chars) << 20 | inverted
+# position — ONE bigint that orders exactly like (hash ASC, pos DESC), so a
+# plain windowed min() implements the rightmost-on-ties MOSS rule
+# identically in Spark and DuckDB. 40 + 20 = 60 bits, safely inside int64.
+# The 20 position bits cap fingerprinting at the first ~1M normalized chars
+# of a document (standard practice for web-scale fingerprinting; grams past
+# _WINNOW_POS_MAX are excluded deterministically in both engines).
+_WINNOW_POS_BITS = 20
+_WINNOW_POS_MAX = (1 << _WINNOW_POS_BITS) - 1
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """Selected winnowing fingerprints: (id, pos, fp) with ``pos`` the
+    1-based gram position in the normalized text and ``fp`` the 40-bit gram
+    hash. Normalization matches the house fingerprint (ws_strip → lower →
+    collapse whitespace). Docs shorter than k chars emit one truncated gram
+    (the ``_shingle_rows`` convention) so every doc yields >= 1 fingerprint;
+    docs with fewer than w grams select the minimum over all their grams
+    (the only full window is the whole doc).
+
+    Plan shape: codegen explode(sequence)+substr → md5 → ONE running-frame
+    window min partitioned by id → distinct. The only shuffle partitions by
+    id (well distributed; skew bounded by document length, which the
+    position cap bounds at ~1M chars). Everything stays whole-stage-codegen
+    JVM — no Python."""
+    from ..functions.text import ws_strip
+
+    norm = F.lower(F.regexp_replace(ws_strip(F.col(text_col)), r"\s+", " "))
+    n_grams = F.least(
+        F.greatest(F.length("norm") - F.lit(k - 1), F.lit(1)),
+        F.lit(_WINNOW_POS_MAX),
+    )
+    grams = (
+        df.select(F.col(id_col).alias("id"), norm.alias("norm"))
+        .select("id", "norm", n_grams.alias("ng"))
+        .select(
+            "id", "ng", "norm",
+            F.explode(F.sequence(F.lit(1), F.col("ng"))).alias("i"),
+        )
+        .select(
+            "id", "ng", "i",
+            F.col("norm").substr(F.col("i"), F.lit(k)).alias("g"),
+        )
+    )
+    h40 = F.conv(F.substring(F.md5(F.col("g")), 1, 10), 16, 10).cast("bigint")
+    key = (
+        F.shiftleft(h40, _WINNOW_POS_BITS)
+        + (F.lit(_WINNOW_POS_MAX) - F.col("i"))
+    )
+    win = (
+        Window.partitionBy("id")
+        .orderBy("i")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    return (
+        grams.withColumn("mkey", F.min(key).over(win))
+        # a window is "full" from the w-th gram on; the last gram's window
+        # doubles as the whole-doc fallback when ng < w
+        .filter((F.col("i") >= w) | (F.col("i") == F.col("ng")))
+        .select(
+            "id",
+            (F.lit(_WINNOW_POS_MAX)
+             - (F.col("mkey") % F.lit(_WINNOW_POS_MAX + 1))).alias("pos"),
+            # shiftright, NOT /-then-cast: mkey has 60 bits and float64
+            # division would round above 2^53
+            F.shiftright(F.col("mkey"), _WINNOW_POS_BITS).alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def winnow_sql_cte(k: int = WINNOW_K, w: int = WINNOW_W,
+                   src: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` as a WITH-clause body
+    ending in a ``wf(id, pos, fp)`` CTE — the single shared generator for
+    every winnowing oracle (same normalization as fingerprint_sql)."""
+    pmax, pmod = _WINNOW_POS_MAX, _WINNOW_POS_MAX + 1
+    stripped = f"regexp_replace({text_col}, '^\\s+|\\s+$', '', 'g')"
+    return f"""
+nrm AS (SELECT {id_col} AS id,
+               lower(regexp_replace({stripped}, '\\s+', ' ', 'g')) AS norm
+        FROM {src}),
+grm AS (SELECT id, norm,
+               least(greatest(len(norm) - {k - 1}, 1), {pmax}) AS ng
+        FROM nrm),
+pos AS (SELECT id, ng, norm, unnest(generate_series(1, ng)) AS i FROM grm),
+ky AS (SELECT id, ng, i,
+              ('0x' || substr(md5(substr(norm, i::INT, {k})), 1, 10))::BIGINT
+                * {1 << _WINNOW_POS_BITS} + ({pmax} - i) AS key
+       FROM pos),
+mk AS (SELECT id, ng, i,
+              min(key) OVER (PARTITION BY id ORDER BY i
+                             ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+                AS mkey
+       FROM ky),
+wf AS (SELECT DISTINCT id, ({pmax} - (mkey % {pmod}))::BIGINT AS pos,
+              (mkey // {pmod})::BIGINT AS fp
+       FROM mk WHERE i >= {w} OR i = ng)"""
+
+
+def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = WINNOW_K,
+                         w: int = WINNOW_W, min_shared: int = 2,
+                         max_bucket: "int | None" = MAX_BUCKET) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing >= min_shared selected
+    fingerprint *values* (position-independent, so relocated boilerplate
+    still matches). By the winnowing guarantee, any shared substring of
+    >= w + k - 1 chars yields at least one shared fingerprint. Corpus-wide
+    hot fingerprints (site-template boilerplate behind one fp value) go
+    through the same MAX_BUCKET cap as every other banded self-join —
+    overflow members keep only their representative link, so n_shared
+    undercounts inside capped buckets (see MAX_BUCKET)."""
+    fp = (
+        winnow_fingerprints(df, text_col, id_col, k, w)
+        .select("id", "fp")
+        .distinct()
+    )
+    return (
+        capped_bucket_pairs(fp, ["fp"], max_bucket)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

@@ -1246,3 +1246,286 @@ def test_embedding_neardup_capped_bucket(spark):
     out = embedding_neardup(e, threshold=0.95, max_bucket=cap)
     assert out.count() == cap * (cap - 1) // 2 + (n - cap)
     assert MAX_BUCKET >= 2  # the default cap the scale paths rely on
+
+
+def test_winnow_fingerprints_match_naive_moss(spark):
+    """Engine winnowing ≡ a from-scratch MOSS implementation (Schleimer et
+    al. '03: per-window min hash, rightmost on ties) on normalization edge
+    cases: extra whitespace/case (1≡2), shorter-than-k, empty, all-equal
+    grams (pure tie-break), and < w grams (whole-doc fallback window)."""
+    import hashlib
+    import re
+
+    from heliport_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "  The   QUICK brown fox jumps over the lazy dog  "),
+        (3, "abc"),
+        (4, ""),
+        (5, "aaaaaaaaaaaaaaa"),
+        (6, "unrelated body that also ends with the lazy dog"),
+        (7, "sevench"),  # 7 chars → 3 grams < w: fallback window only
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = sorted(tuple(r) for r in winnow_fingerprints(df).collect())
+
+    def naive(doc_id, text, k=WINNOW_K, w=WINNOW_W):
+        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        ng = max(len(norm) - (k - 1), 1)
+        keyed = [
+            (i, int(hashlib.md5(norm[i - 1:i - 1 + k].encode()).hexdigest()[:10], 16))
+            for i in range(1, ng + 1)
+        ]
+        pos_max = (1 << 20) - 1
+        out = set()
+        for end in range(len(keyed)):
+            if not (end + 1 >= w or end + 1 == ng):
+                continue
+            window = keyed[max(0, end - (w - 1)):end + 1]
+            best = min(window, key=lambda t: (t[1] << 20) + (pos_max - t[0]))
+            out.add((doc_id, best[0], best[1]))
+        return out
+
+    ref = sorted(x for d, t in texts for x in naive(d, t))
+    assert got == ref
+    # docs 1 and 2 normalize identically ⇒ identical fingerprint sets
+    by_id = {}
+    for d, p, fp in got:
+        by_id.setdefault(d, set()).add((p, fp))
+    assert by_id[1] == by_id[2]
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing guarantee: ANY shared substring of >= w + k - 1 chars
+    yields a shared selected fingerprint value — checked by planting an
+    8-char phrase in otherwise-disjoint docs. Density: the selected count
+    stays near the expected 2/(w+1) fraction of grams on random text."""
+    import random
+
+    from heliport_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    assert WINNOW_W + WINNOW_K - 1 == 8
+    rng = random.Random(13)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    planted = "lazy dog"  # exactly the w+k-1 guarantee threshold
+    rows = []
+    for d in range(10):
+        junk = "".join(rng.choice(alpha) for _ in range(120))
+        mid = rng.randrange(20, 100)
+        rows.append((d, junk[:mid] + planted + junk[mid:]))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(df, min_shared=1).collect()
+    }
+    for a in range(10):
+        for b in range(a + 1, 10):
+            assert (a, b) in pairs, (a, b)
+
+    n_sel = winnow_fingerprints(df).count()
+    n_grams = sum(len(t) - (WINNOW_K - 1) for _, t in rows)
+    density = n_sel / n_grams
+    # expectation 2/(w+1) = 0.4; duplicate-value collapse pulls it down,
+    # boundary windows push it up — wide but falsifiable band
+    assert 0.2 < density < 0.6, density
+
+
+def test_winnow_overlap_capped_bucket(spark):
+    """A corpus-wide hot fingerprint (one boilerplate string in every doc)
+    goes through the MAX_BUCKET cap: bounded pair emission with the
+    first-k + representative-link shape, not O(n^2)."""
+    from heliport_spark.operators.dedup import winnow_overlap_pairs
+
+    n, cap = 300, 64
+    text = "identical boilerplate sentence repeated across the whole corpus"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(n)], ["doc_id", "text"]
+    ).repartition(8)
+    out = winnow_overlap_pairs(df, min_shared=1, max_bucket=cap)
+    # every fingerprint value is one degenerate bucket with the same
+    # membership ⇒ pair-count per bucket = C(cap,2) + (n-cap); the groupBy
+    # collapses buckets into n_shared multiplicity, so distinct pairs match
+    # ONE bucket's shape
+    assert out.count() == cap * (cap - 1) // 2 + (n - cap)
+    assert out.filter("id_a != 0").count() == cap * (cap - 1) // 2 - (cap - 1)
+
+
+def test_cross_corpus_candidates_and_incremental_dedup(spark):
+    """Two-corpus dedup: new docs duplicating a reference doc are flagged
+    (and dropped by incremental_dedup); genuinely novel docs survive. The
+    candidate set must equal the cross-corpus restriction of the single-
+    corpus LSH over the union — same bands, same signatures."""
+    from heliport_spark.operators.dedup import (
+        cross_corpus_candidates,
+        incremental_dedup,
+        minhash_lsh_candidates,
+    )
+
+    ref_rows = [
+        (100, "the quick brown fox jumps over the lazy dog every single day"),
+        (101, "spark partitions shuffle data across the cluster by key hash"),
+        (102, "completely unrelated reference document about audio codecs"),
+    ]
+    new_rows = [
+        (1, "the quick brown fox jumps over the lazy dog every single day"),
+        (2, "spark partitions shuffle data across the cluster by key hash!"),
+        (3, "a genuinely novel document with entirely fresh content inside"),
+    ]
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    cand = {
+        (r.id_new, r.id_ref)
+        for r in cross_corpus_candidates(new, ref).collect()
+    }
+    union_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(ref.unionByName(new)).collect()
+    }
+    expected = {
+        (a, b) for a, b in union_pairs if a < 100 <= b
+    }
+    assert cand == expected
+    assert (1, 100) in cand  # exact duplicate must always be flagged
+
+    kept = {r.doc_id for r in incremental_dedup(new, ref).collect()}
+    assert 1 not in kept
+    assert 3 in kept
+
+
+def test_cross_corpus_hot_bucket_cap_and_gate_exactness(spark):
+    """Degenerate bucket (every doc identical on both sides): the pair list
+    is capped at k·k + (n_new − k) representative links, while the
+    incremental_dedup GATE stays bit-identical to uncapped — every new
+    member of the hot bucket is dropped."""
+    from heliport_spark.operators.dedup import (
+        LSH_BANDS,
+        cross_corpus_candidates,
+        incremental_dedup,
+    )
+
+    text = "one boilerplate page duplicated across crawl snapshots forever"
+    n_new, n_ref, cap = 200, 150, 16
+    new = spark.createDataFrame(
+        [(i, text) for i in range(n_new)], ["doc_id", "text"]
+    ).repartition(8)
+    ref = spark.createDataFrame(
+        [(10_000 + i, text) for i in range(n_ref)], ["doc_id", "text"]
+    ).repartition(8)
+
+    pairs = cross_corpus_candidates(new, ref, max_bucket=cap)
+    # identical text ⇒ every band collapses to the same bucket; distinct
+    # pair count = k·k (kept×kept) + (n_new−k) overflow→representative
+    assert pairs.count() == cap * cap + (n_new - cap)
+    # overflow links go to the bucket's first ref id only
+    over = pairs.filter(f"id_new >= {cap}")
+    assert over.filter("id_ref != 10000").count() == 0
+
+    assert incremental_dedup(new, ref).count() == 0
+
+
+def test_speech_segments_merge_semantics():
+    """Pure VAD merge: gap bridging at ≤ max_gap, run-length floor, empty
+    and all-speech masks."""
+    import numpy as np
+
+    from heliport_spark.functions.audio import speech_segments
+
+    m = np.array([0, 1, 1, 0, 1, 1, 0, 0, 0, 1, 1, 1], dtype=bool)
+    # gap of 1 silent frame between (1,3) and (4,6) bridges at max_gap=1;
+    # the 3-frame gap to (9,12) does not
+    assert speech_segments(m, 2, 1) == [(1, 6), (9, 12)]
+    # no bridging at max_gap=0
+    assert speech_segments(m, 2, 0) == [(1, 3), (4, 6), (9, 12)]
+    # min length drops the short runs entirely
+    assert speech_segments(m, 4, 0) == []
+    assert speech_segments(np.zeros(8, dtype=bool)) == []
+    assert speech_segments(np.ones(8, dtype=bool)) == [(0, 8)]
+
+
+def _pcm(wave):
+    from heliport_spark.functions.audio import encode_pcm_s16le
+
+    return encode_pcm_s16le(wave)
+
+
+def test_vad_segments_df(spark):
+    """Synthetic silence|tone|silence|tone|silence clip → exactly the two
+    planted speech segments with sample-accurate millisecond bounds."""
+    import numpy as np
+
+    from heliport_spark.functions.audio import vad_segments_df
+
+    sr = 16000
+    t = lambda ms: np.arange(int(sr * ms / 1000))
+    tone = lambda ms: 0.3 * np.sin(2 * np.pi * 440 * t(ms) / sr)
+    sil = lambda ms: np.zeros(int(sr * ms / 1000))
+    wave = np.concatenate([sil(500), tone(1000), sil(300), tone(480), sil(200)])
+    rows = [
+        ("a", _pcm(wave), sr),
+        ("b", _pcm(sil(400)), sr),          # all silence: no rows
+        ("c", None, sr),                     # NULL bytes: no rows
+    ]
+    df = spark.createDataFrame(rows, ["clip_id", "bytes", "sr_hz"])
+    segs = {
+        (r.clip_id, r.seg_idx): (r.start_ms, r.end_ms)
+        for r in vad_segments_df(df, codec_col=None).collect()
+    }
+    assert set(segs) == {("a", 0), ("a", 1)}
+    # frame quantization is 20 ms — bounds land on the planted edges
+    assert segs[("a", 0)] == (500, 1500)
+    assert segs[("a", 1)] == (1800, 2280)
+
+
+def test_trim_silence_df(spark):
+    """Leading/trailing silence stripped with 1 frame of pad; all-speech
+    passthrough is byte-identical; all-silence → empty bytes with the
+    duration on head trim; undecodable → NULL bytes_trim."""
+    import numpy as np
+
+    from heliport_spark.functions.audio import trim_silence_df
+
+    sr = 16000
+    t = lambda ms: np.arange(int(sr * ms / 1000))
+    tone = lambda ms: 0.3 * np.sin(2 * np.pi * 440 * t(ms) / sr)
+    sil = lambda ms: np.zeros(int(sr * ms / 1000))
+    speech = tone(600)
+    padded = np.concatenate([sil(400), speech, sil(240)])
+    rows = [
+        ("pad", _pcm(padded), sr, None),
+        ("all", _pcm(speech), sr, None),
+        ("quiet", _pcm(sil(500)), sr, None),
+        ("bad", b"\x00\x01\x02", sr, "wav"),  # malformed WAV container
+    ]
+    df = spark.createDataFrame(rows, ["clip_id", "bytes", "sr_hz", "codec"])
+    got = {r.clip_id: r for r in trim_silence_df(df).collect()}
+
+    frame = sr * 20 // 1000
+    r = got["pad"]
+    # 400 ms head = 20 frames, minus 1 pad frame → 380 ms trimmed
+    assert r.trim_head_ms == 380 and r.trim_tail_ms == 220
+    s0 = 19 * frame
+    s1 = len(padded) - int(sr * 0.24) + frame
+    assert r.bytes_trim == _pcm(padded)[2 * s0 : 2 * s1]
+    assert r.n_samples_trim == s1 - s0
+
+    r = got["all"]  # starts and ends in speech: byte-identical passthrough
+    assert bytes(r.bytes_trim) == _pcm(speech)
+    assert r.trim_head_ms == 0 and r.trim_tail_ms == 0
+
+    r = got["quiet"]
+    assert bytes(r.bytes_trim) == b"" and r.n_samples_trim == 0
+    assert r.trim_head_ms == 500
+
+    assert got["bad"].bytes_trim is None
