@@ -159,3 +159,27 @@ def test_scrub_is_whole_stage_codegen(spark):
     # codegen'd stages print as "*(n) Project ..." in executedPlan.toString
     assert plan.lstrip().startswith("*(")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+def test_winnow_plan_single_window_no_python(spark):
+    """Winnowing stays whole-stage-codegen JVM: pruned 2-column scan, ONE
+    Window exec (the repartition exchange doubles as the window's
+    partitioning — no second pre-window shuffle), zero Python stages."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["winnow_fingerprints"](spark, SF))
+    assert plan.count("Window") == 1
+    assert "EvalPython" not in plan and "FlatMapsInPandas" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_incremental_dedup_plan_no_forced_broadcast(spark):
+    """The incremental-dedup gate must not FORCE a broadcast of the
+    reference signatures (at 100 TB the curated corpus is the big side):
+    any BroadcastExchange present comes from Catalyst/AQE size estimates
+    on the sf0.01 fixture, so the logical plan carries no hint."""
+    import __spark_entry__ as e
+
+    df = e.queries()["dedup_incremental"](spark, SF)
+    assert "ResolvedHint" not in df._jdf.queryExecution().logical().toString()
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "EvalPython" not in plan
