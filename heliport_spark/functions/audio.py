@@ -828,6 +828,113 @@ MEL_SCHEMA = StructType(
 )
 
 
+# --------------------------------------- spectral-subtraction noise removal
+
+def spectral_denoise(wave: "np.ndarray", noise_pct: float = 10.0,
+                     alpha: float = 2.0, floor: float = 0.05,
+                     n_fft: int = 512) -> "tuple[np.ndarray, float]":
+    """Classic spectral-subtraction denoise (Boll '79), pure numpy: STFT at
+    50 % Hann overlap, per-bin noise magnitude estimated as the
+    ``noise_pct`` percentile of frame magnitudes (robust — silence/noise
+    frames dominate the low percentiles without needing a VAD), subtract
+    ``alpha``× the estimate with a ``floor``× spectral floor, resynthesize
+    with the original phase via overlap-add. Returns (denoised wave, noise
+    RMS estimate in dBFS). Hann at hop = n_fft/2 satisfies COLA, so OLA
+    divides by the exact window-sum envelope (center-padded so edges are
+    covered) — a clean signal WITH pauses passes through near-identically
+    (the percentile then estimates ≈0 noise). Caveat inherent to
+    minimum-statistics estimation: a signal active in every frame on the
+    same bins (e.g. one unbroken stationary tone) is itself counted as
+    noise floor; speech/audio with natural pauses is the intended input."""
+    wave = np.asarray(wave, dtype=np.float64)
+    n = len(wave)
+    if n == 0:
+        return wave.astype(np.float32), float("-inf")
+    hop = n_fft // 2
+    # center-pad by one hop on each side: without it the window-sum
+    # envelope → 0 at the signal edges and the envelope division amplifies
+    # the (no-longer-proportional) subtracted frames into edge spikes
+    padded = n + 2 * hop
+    tail = hop + ((-(padded - n_fft)) % hop if padded >= n_fft
+                  else n_fft - padded + hop)
+    w = np.pad(wave, (hop, tail))
+    n_frames = 1 + (len(w) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = np.hanning(n_fft)
+    spec = np.fft.rfft(w[idx] * win[None, :], axis=1)
+    mag, phase = np.abs(spec), np.angle(spec)
+    noise_mag = np.percentile(mag, noise_pct, axis=0)
+    clean = np.maximum(mag - alpha * noise_mag[None, :], floor * mag)
+    frames = np.fft.irfft(clean * np.exp(1j * phase), n=n_fft, axis=1)
+    out = np.zeros(len(w))
+    env = np.zeros(len(w))
+    for f in range(n_frames):
+        s = f * hop
+        out[s:s + n_fft] += frames[f] * win
+        env[s:s + n_fft] += win * win
+    out = out / np.maximum(env, 1e-8)
+    # dBFS calibration of the per-bin percentile estimate: for white noise
+    # of time-domain RMS σ, each Hann-windowed rfft bin magnitude is
+    # Rayleigh with scale σ_c = σ·sqrt(Σwin²/2), whose p-quantile is
+    # σ_c·sqrt(−2·ln(1−p)) — invert both factors so noise_db reads in the
+    # same [-1,1) full-scale units as the waveform (validated within ~1 dB
+    # on synthetic white noise in tests)
+    p = min(max(noise_pct / 100.0, 1e-6), 1 - 1e-6)
+    rayleigh_q = np.sqrt(-2.0 * np.log(1.0 - p))
+    scale = rayleigh_q * np.sqrt(np.sum(win * win) / 2.0)
+    noise_rms = float(np.sqrt(np.mean(noise_mag**2)) / scale)
+    noise_db = 20.0 * np.log10(noise_rms) if noise_rms > 0 else float("-inf")
+    return out[hop:hop + n].astype(np.float32), noise_db
+
+
+def denoise_audio_df(df: DataFrame, bytes_col: str = "bytes",
+                     sr_col: str = "sr_hz",
+                     codec_col: "str | None" = "codec",
+                     noise_pct: float = 10.0, alpha: float = 2.0,
+                     floor: float = 0.05) -> DataFrame:
+    """Append ``bytes_dn`` (spectral-subtraction-denoised raw mono PCM16)
+    and ``noise_db`` (the per-clip noise-floor estimate in dBFS). Rows that
+    cannot be decoded emit ``bytes_dn`` = NULL (the resample_audio_df
+    contract — NULL marks not-PCM). One Arrow pass, no shuffle; the source
+    bytes column passes through untouched (same new-column policy as
+    loudness normalization)."""
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("bytes_dn", BinaryType()),
+            StructField("noise_db", FloatType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            codecs = (
+                pdf[codec_col].to_numpy()
+                if codec_col is not None and codec_col in pdf
+                else None
+            )
+            outb, outdb = [], []
+            for i, raw in enumerate(pdf[bytes_col]):
+                if raw is None or len(raw) == 0:
+                    outb.append(None), outdb.append(None)
+                    continue
+                w, _ = decode_by_codec(
+                    raw, codecs[i] if codecs is not None else None
+                )
+                if not len(w):
+                    outb.append(None), outdb.append(None)
+                    continue
+                dn, ndb = spectral_denoise(w, noise_pct, alpha, floor)
+                outb.append(encode_pcm_s16le(dn))
+                outdb.append(np.float32(ndb))
+            pdf = pdf.copy(deep=False)
+            pdf["bytes_dn"] = pd.Series(outb, dtype=object)
+            pdf["noise_db"] = pd.Series(outdb, dtype="float32")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def decode_compressed_audio(raw: bytes, codec: str) -> np.ndarray:
     """Decode opus/mp3/flac → waveform. STUB: no codec libs in this container."""
     raise NotImplementedError(

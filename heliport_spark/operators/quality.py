@@ -152,3 +152,88 @@ def keep_expr(flags: Column) -> Column:
     """D7: keep ⟺ no drop-rule fired. Pure Catalyst."""
     drops = F.array(*[F.lit(r) for r in DROP_RULES])
     return F.size(F.filter(flags, lambda x: F.array_contains(drops, x))) == 0
+
+
+# ------------------------------------------------- mixed-language detection
+
+# Segments shorter than this carry too little n-gram signal to label
+# reliably (the reference's own goldens are full sentences); they are
+# excluded from the mix statistics rather than mislabeled.
+LANG_MIX_MIN_SEG_CHARS = 12
+# Sentence/line segmentation: newline runs or whitespace after .!?… — a
+# deterministic regex split, NOT a model (matches what CCNet-style
+# pipelines do before per-segment LID).
+LANG_MIX_SPLIT = r"(?<=[.!?…])\s+|\n+"
+
+
+def lang_mix_df(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                min_seg_chars: int = LANG_MIX_MIN_SEG_CHARS,
+                model_dir: "str | None" = None,
+                langs: "list[str] | None" = None) -> DataFrame:
+    """Per-document language-consistency signal (the CCNet/RefinedWeb
+    mixed-language filter): split each doc into sentence/line segments,
+    language-identify every segment with the HeLI core, and aggregate —
+    (id, n_segs, maj_lang, maj_segs, n_langs, lang_mix_ratio) where
+    ``lang_mix_ratio`` is the fraction of labeled segments disagreeing with
+    the majority language. Docs with no segment ≥ min_seg_chars emit
+    n_segs = 0 with maj_lang NULL (too short to judge — callers decide).
+
+    Majority tie-break is deterministic: higher segment count first, then
+    lexicographically smallest language code.
+
+    Scale shape: ONE posexplode (segments ≈ sentences per doc), ONE scalar
+    pandas UDF over the segment text only (identify_df — nothing else
+    crosses the Arrow boundary), then two hash-aggregates keyed by (id,
+    lang) and id plus one tiny row_number window on the per-(id, lang)
+    counts. No joins against the corpus; the left join back to ALL input
+    ids only restores empty docs."""
+    from .identify import identify_df
+
+    segs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.split(F.col(text_col), LANG_MIX_SPLIT)
+            ).alias("seg_idx", "seg"),
+        )
+        .withColumn("seg", F.trim("seg"))
+        .filter(F.length("seg") >= min_seg_chars)
+    )
+    labeled = identify_df(
+        segs, text_col="seg", ignore_confidence=True,
+        model_dir=model_dir, langs=langs,
+    ).select("id", "lang")
+    per_lang = labeled.groupBy("id", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("lang"))
+    stats = (
+        per_lang.withColumn("_rk", F.row_number().over(w))
+        .groupBy("id")
+        .agg(
+            F.sum("n").alias("n_segs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.max(F.when(F.col("_rk") == 1, F.col("lang"))).alias("maj_lang"),
+            F.max(F.when(F.col("_rk") == 1, F.col("n"))).alias("maj_segs"),
+        )
+        .withColumn(
+            "lang_mix_ratio",
+            F.round(
+                (F.col("n_segs") - F.col("maj_segs"))
+                / F.col("n_segs").cast("double"),
+                6,
+            ),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        ids.join(stats, "id", "left")
+        .na.fill({"n_segs": 0, "n_langs": 0, "maj_segs": 0})
+        .select(
+            "id", "n_segs", "maj_lang", "maj_segs", "n_langs",
+            "lang_mix_ratio",
+        )
+    )

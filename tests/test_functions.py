@@ -1529,3 +1529,78 @@ def test_trim_silence_df(spark):
     assert r.trim_head_ms == 500
 
     assert got["bad"].bytes_trim is None
+
+
+def test_spectral_denoise_improves_snr_and_calibration():
+    """Spectral subtraction on tone-bursts-in-white-noise: SNR improves by
+    ≥ 4 dB at three noise levels, the noise-floor estimate lands within
+    1.5 dB of truth (Rayleigh-calibrated percentile), clean-with-pauses
+    input passes through at ≥ 60 dB fidelity, and output length always
+    equals input length."""
+    import numpy as np
+
+    from heliport_spark.functions.audio import snr_db, spectral_denoise
+
+    sr = 16000
+
+    def tone(ms, f=440, amp=0.3):
+        t = np.arange(int(sr * ms / 1000))
+        return amp * np.sin(2 * np.pi * f * t / sr)
+
+    def sil(ms):
+        return np.zeros(int(sr * ms / 1000))
+
+    clean = np.concatenate(
+        [sil(400), tone(800), sil(300), tone(600), sil(400)]
+    )
+    rng = np.random.default_rng(5)
+    for nl in (0.02, 0.05, 0.1):
+        noisy = clean + nl * rng.standard_normal(len(clean))
+        dn, ndb = spectral_denoise(noisy)
+        assert len(dn) == len(noisy)
+        gain = snr_db(clean, dn) - snr_db(clean, noisy)
+        assert gain >= 4.0, (nl, gain)
+        assert abs(ndb - 20 * np.log10(nl)) < 1.5, (nl, ndb)
+
+    dn2, _ = spectral_denoise(clean)
+    assert snr_db(clean, dn2) >= 60.0
+    for n in (0, 100, 511, 512, 513, 1024):
+        d, _ = spectral_denoise(clean[:n])
+        assert len(d) == n
+
+
+def test_denoise_audio_df(spark):
+    """The Spark wrapper: denoised bytes column appended, source bytes
+    untouched, undecodable rows yield NULL bytes_dn, and the per-clip
+    noise_db survives the Arrow round trip."""
+    import numpy as np
+
+    from heliport_spark.functions.audio import (
+        decode_pcm_s16le,
+        denoise_audio_df,
+        snr_db,
+    )
+
+    sr = 16000
+    t = np.arange(sr)
+    clean = np.concatenate(
+        [np.zeros(sr // 4),
+         0.3 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr),
+         np.zeros(sr // 4)]
+    )
+    rng = np.random.default_rng(11)
+    noisy = clean + 0.05 * rng.standard_normal(len(clean))
+    rows = [
+        ("n", _pcm(noisy), sr, None),
+        ("bad", b"\x00\x01\x02", sr, "wav"),
+    ]
+    df = spark.createDataFrame(rows, ["clip_id", "bytes", "sr_hz", "codec"])
+    got = {r.clip_id: r for r in denoise_audio_df(df).collect()}
+
+    r = got["n"]
+    assert bytes(r.bytes) == _pcm(noisy)  # source untouched
+    dn = decode_pcm_s16le(bytes(r.bytes_dn))
+    assert len(dn) == len(noisy)
+    assert snr_db(clean, dn) > snr_db(clean, decode_pcm_s16le(_pcm(noisy)))
+    assert abs(r.noise_db - 20 * np.log10(0.05)) < 2.0
+    assert got["bad"].bytes_dn is None and got["bad"].noise_db is None

@@ -378,3 +378,32 @@ def test_word_ppl_exemptions(spark):
     # the all-OOV ceiling (7.0) still drops
     assert MAX_WORD_NLL >= 5.912 * 1.09
     assert MAX_WORD_NLL < 7.0
+
+
+def test_lang_mix_df(spark):
+    """Mixed-language detection: monolingual docs get ratio 0.0, a doc with
+    one Spanish sentence among English gets exactly 1/3, sub-threshold docs
+    emit n_segs=0 with NULL majority, and the majority tie-break is
+    deterministic (count desc, lang asc)."""
+    from heliport_spark.operators.quality import lang_mix_df
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog. It was a sunny "
+            "day in the village. Everyone was happy about the harvest."),
+        (2, "The quick brown fox jumps over the lazy dog. El rápido zorro "
+            "marrón salta sobre el perro perezoso. It was a sunny day in "
+            "the village again today."),
+        (3, "short"),
+        (4, "Hola, buenos días a todos mis amigos queridos.\nEsta mañana "
+            "el sol brillaba sobre las montañas."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.id: r for r in lang_mix_df(df).collect()}
+
+    assert got[1].maj_lang == "eng" and got[1].lang_mix_ratio == 0.0
+    assert got[1].n_segs == 3 and got[1].n_langs == 1
+    r2 = got[2]
+    assert r2.maj_lang == "eng" and r2.n_langs == 2
+    assert abs(r2.lang_mix_ratio - 1 / 3) < 1e-6
+    assert got[3].n_segs == 0 and got[3].maj_lang is None
+    assert got[4].maj_lang == "spa" and got[4].lang_mix_ratio == 0.0
