@@ -171,3 +171,82 @@ def test_wav_roundtrip_property(samples, sr):
     w2, sr2, ch = decode_wav(encode_wav(w, sr))
     assert sr2 == sr and ch == 1
     np.testing.assert_array_equal(w, w2)
+
+
+def _naive_winnow(text, k=5, w=4):
+    """From-scratch MOSS winnowing (same rules as dedup.winnow_fingerprints,
+    which tests/test_functions.py pins Spark-equal on fixtures): returns the
+    selected {(pos, hash)} set."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"\s+", " ", text.strip()).lower()
+    ng = max(len(norm) - (k - 1), 1)
+    keyed = [
+        (i, int(hashlib.md5(norm[i - 1:i - 1 + k].encode()).hexdigest()[:10], 16))
+        for i in range(1, ng + 1)
+    ]
+    pos_max = (1 << 20) - 1
+    out = set()
+    for end in range(len(keyed)):
+        if not (end + 1 >= w or end + 1 == ng):
+            continue
+        window = keyed[max(0, end - (w - 1)):end + 1]
+        out.add(min(window, key=lambda t: (t[1] << 20) + (pos_max - t[0])))
+    return out
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.text(alphabet="abcdefgh ", min_size=0, max_size=80),
+    st.text(alphabet="abcdefgh ", min_size=0, max_size=80),
+    st.text(alphabet="nopqrstuv", min_size=8, max_size=20),
+)
+def test_winnow_shared_substring_guarantee(prefix_a, prefix_b, shared):
+    """THE winnowing guarantee (Schleimer et al. §3): any substring of
+    length ≥ w + k − 1 = 8 chars common to two documents contributes at
+    least one selected fingerprint VALUE to both — for arbitrary
+    surrounding context (disjoint alphabets keep the plant intact under
+    normalization)."""
+    fa = {h for _, h in _naive_winnow(prefix_a + shared)}
+    fb = {h for _, h in _naive_winnow(prefix_b + shared)}
+    assert fa & fb
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.booleans(), min_size=0, max_size=60),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=0, max_value=4),
+)
+def test_speech_segments_invariants(mask, min_speech, max_gap):
+    """VAD merge invariants: segments sorted, disjoint, in range, start/end
+    on speech frames, length ≥ min_speech, separated by silent gaps longer
+    than max_gap, and together they cover every speech frame belonging to a
+    qualifying bridged run (checked against an independent scan)."""
+    from heliport_spark.functions.audio import speech_segments
+
+    segs = speech_segments(np.array(mask, dtype=bool), min_speech, max_gap)
+    prev_end = None
+    for s, e in segs:
+        assert 0 <= s < e <= len(mask)
+        assert mask[s] and mask[e - 1]
+        assert e - s >= min_speech
+        if prev_end is not None:
+            assert s - prev_end > max_gap
+        prev_end = e
+
+    # independent reference: bridge runs left-to-right, then length-filter
+    runs, cur = [], None
+    for i, m in enumerate(mask):
+        if m:
+            if cur is None:
+                cur = [i, i + 1]
+            elif i - cur[1] <= max_gap:
+                cur[1] = i + 1
+            else:
+                runs.append(tuple(cur))
+                cur = [i, i + 1]
+    if cur is not None:
+        runs.append(tuple(cur))
+    assert segs == [r for r in runs if r[1] - r[0] >= min_speech]
