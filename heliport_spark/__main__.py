@@ -211,7 +211,7 @@ def cmd_pipeline(args) -> int:
     counters = run_pipeline(
         spark, clips, args.output, n_buckets=args.buckets,
         model_dir=args.model_dir, resume=not args.no_resume,
-        with_signal_gate=args.signal_gate,
+        with_signal_gate=args.signal_gate, with_denoise=args.denoise,
     )
     print(counters)
     return 0
@@ -272,6 +272,10 @@ def main(argv=None) -> int:
                    help="also decode PCM of transcript-gate survivors and "
                         "AND silence/clipping/drift flags into keep "
                         "(functions/audio.py)")
+    p.add_argument("--denoise", action="store_true",
+                   help="append bytes_dn/noise_db (spectral-subtraction "
+                        "denoise) for keep-survivors as the last stage; "
+                        "dropped rows emit NULL and skip the FFT")
     p.set_defaults(fn=cmd_pipeline)
 
     args = ap.parse_args(argv)

@@ -891,13 +891,16 @@ def denoise_audio_df(df: DataFrame, bytes_col: str = "bytes",
                      sr_col: str = "sr_hz",
                      codec_col: "str | None" = "codec",
                      noise_pct: float = 10.0, alpha: float = 2.0,
-                     floor: float = 0.05) -> DataFrame:
+                     floor: float = 0.05,
+                     gate_col: "str | None" = None) -> DataFrame:
     """Append ``bytes_dn`` (spectral-subtraction-denoised raw mono PCM16)
     and ``noise_db`` (the per-clip noise-floor estimate in dBFS). Rows that
     cannot be decoded emit ``bytes_dn`` = NULL (the resample_audio_df
     contract — NULL marks not-PCM). One Arrow pass, no shuffle; the source
     bytes column passes through untouched (same new-column policy as
-    loudness normalization)."""
+    loudness normalization). ``gate_col`` (boolean): rows where it is false
+    skip the decode+FFT entirely and emit NULLs — the pipeline uses it so
+    only keep-survivors pay the transform."""
     out_schema = StructType(
         list(df.schema.fields)
         + [
@@ -913,8 +916,12 @@ def denoise_audio_df(df: DataFrame, bytes_col: str = "bytes",
                 if codec_col is not None and codec_col in pdf
                 else None
             )
+            gates = pdf[gate_col].to_numpy() if gate_col else None
             outb, outdb = [], []
             for i, raw in enumerate(pdf[bytes_col]):
+                if gates is not None and not gates[i]:
+                    outb.append(None), outdb.append(None)
+                    continue
                 if raw is None or len(raw) == 0:
                     outb.append(None), outdb.append(None)
                     continue

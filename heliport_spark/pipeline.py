@@ -50,6 +50,7 @@ def quality_filter(
     with_ft: bool = True,
     exact: bool = False,
     with_signal_gate: bool = False,
+    with_denoise: bool = False,
 ) -> DataFrame:
     """clips → clips + (lang, confidence, keep, scrubbed_text, quality).
 
@@ -66,7 +67,11 @@ def quality_filter(
     (silence/clipping/metadata drift, functions/audio.py) into ``keep`` —
     ordered so the expensive decode never touches rows already dropped by
     the cheap Catalyst-side rules. Off by default: the reference's keep
-    decision (the F1 gate) is transcript-only."""
+    decision (the F1 gate) is transcript-only.
+
+    ``with_denoise=True`` appends ``bytes_dn``/``noise_db`` (spectral-
+    subtraction denoise, functions/audio.py) as the LAST stage, gated on
+    the final ``keep`` — dropped rows emit NULL and never pay the FFT."""
     scored = identify_df(
         df, text_col=text_col, model_dir=model_dir, with_ft=with_ft,
         exact=exact, with_word_nll=True,
@@ -126,7 +131,15 @@ def quality_filter(
                  "cjk_pct"]
     if with_ft:
         drop_cols += ["ft_lang", "ft_prob"]
-    return out.drop(*drop_cols).withColumnRenamed("score", "confidence")
+    out = out.drop(*drop_cols).withColumnRenamed("score", "confidence")
+    if with_denoise:
+        from .functions.audio import denoise_audio_df
+
+        # LAST stage, gated on the final keep: the FFT only ever touches
+        # clips every other gate admitted; source bytes pass through
+        # untouched (bytes_dn is a new column, per the loudness policy)
+        out = denoise_audio_df(out, gate_col="keep")
+    return out
 
 
 def run_pipeline(
@@ -139,6 +152,7 @@ def run_pipeline(
     resume: bool = True,
     fail_after_buckets: "int | None" = None,
     with_signal_gate: bool = False,
+    with_denoise: bool = False,
 ) -> dict:
     """Bucketed checkpoint/resume driver loop (D9).
 
@@ -180,7 +194,7 @@ def run_pipeline(
         part = withb.filter(F.col("_bucket") == b).drop("_bucket")
         result = quality_filter(
             part, model_dir=model_dir, with_ft=with_ft,
-            with_signal_gate=with_signal_gate,
+            with_signal_gate=with_signal_gate, with_denoise=with_denoise,
         )
         result = result.observe(
             obs,

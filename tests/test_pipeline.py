@@ -93,6 +93,29 @@ def test_signal_gate_opt_in(spark):
         out.unpersist()
 
 
+def test_denoise_opt_in(spark, filtered):
+    """with_denoise=True: keep-survivors gain bytes_dn/noise_db, dropped
+    rows get NULL (their FFT is skipped), source bytes ride through
+    byte-identical, and the default pipeline's schema is unchanged."""
+    assert "bytes_dn" not in filtered.columns  # default: no denoise stage
+    clips = clips_from_documents(spark, SF_TINY)
+    out = quality_filter(clips, with_denoise=True).cache()
+    try:
+        assert {"bytes_dn", "noise_db"} <= set(out.columns)
+        # dropped rows never decoded → NULL bytes_dn
+        assert out.filter(~F.col("keep")
+                          & F.col("bytes_dn").isNotNull()).count() == 0
+        # kept, decodable rows got a denoised copy; source bytes untouched
+        kept = out.filter(F.col("keep") & F.col("bytes").isNotNull())
+        assert kept.filter(F.col("bytes_dn").isNotNull()).count() > 0
+        src = {r["clip_id"]: r["bytes"]
+               for r in clips.select("clip_id", "bytes").collect()}
+        for r in kept.select("clip_id", "bytes").collect():
+            assert r["bytes"] == src[r["clip_id"]]
+    finally:
+        out.unpersist()
+
+
 def test_f1_vs_reference_labels(spark, filtered, exact_scorer):
     rows = filtered.select("clip_id", "transcript", "lang", "keep").collect()
     texts = [r["transcript"] or "" for r in rows]
