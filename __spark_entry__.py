@@ -966,6 +966,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _quality_buckets(spark, sf):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020) per language,
+    on the engine-portable rounded stopword ratio (higher = more fluent =
+    head, so ascending=False). ntile mode here because the oracle needs the
+    exact equal-population semantics; the 100 TB path is mode="cutoff"
+    (sketch cutoffs + broadcast, no per-language sort) — see
+    operators/corpus.py::quality_buckets and test_quality_buckets_cutoff."""
+    from heliport_spark.functions import text as T
+    from heliport_spark.operators.corpus import quality_buckets
+
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", "lang",
+        F.round(T.stopword_ratio(F.col("text")), 6).alias("sw_ratio"),
+    )
+    return quality_buckets(
+        scored, "sw_ratio", ascending=False, mode="ntile"
+    ).select("doc_id", "lang", "sw_ratio", "bucket", "bucket_label")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries OUTSIDE the driver's 50-entry correctness cap
     (VERDICT r04 #2). These six SQL warm-ups duplicate plan shapes already
@@ -983,6 +1003,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": _revenue_rollup,
         "customer_set_ops": _customer_set_ops,
         "parts_never_ordered": _parts_never_ordered,
+        "quality_buckets": _quality_buckets,
     }
 
 
@@ -1574,6 +1595,15 @@ SELECT id_a, id_b, sim FROM s WHERE sim >= 0.4""",
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB twins for :func:`extra_queries` — bit-exactness still enforced
     by tests/test_queries.py, just outside the driver's 50-entry cap."""
+    from heliport_spark.functions.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    # the exact stopword_ratio expression doc_quality's oracle uses (same
+    # STOPWORDS constant generates both engines)
+    sw_sql = f"""round(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE
+         len(list_filter(string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
+                         x -> list_contains([{stop_list}], x)))::DOUBLE
+         / len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END, 6)"""
     return {
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -1620,4 +1650,18 @@ SELECT c_custkey, 'no_orders' AS tag FROM (
 SELECT p_partkey, p_name, p_brand FROM part
 WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_partkey = p_partkey AND l_quantity > 45)""",
+        "quality_buckets": f"""
+WITH s AS (
+  SELECT doc_id, lang, {sw_sql} AS sw_ratio FROM documents
+),
+b AS (
+  SELECT doc_id, lang, sw_ratio,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY sw_ratio DESC, doc_id) AS bucket
+  FROM s
+)
+SELECT doc_id, lang, sw_ratio, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket_label
+FROM b""",
     }

@@ -470,6 +470,79 @@ def temperature_resample(df: DataFrame, total: int = TEMP_TOTAL,
     )
 
 
+BUCKET_LABELS_3 = ("head", "middle", "tail")
+
+
+def quality_buckets(df: DataFrame, score_col: str,
+                    group_col: str = "lang", id_col: str = "doc_id",
+                    n_buckets: int = 3, ascending: bool = True,
+                    mode: str = "cutoff",
+                    accuracy: int = 10_000) -> DataFrame:
+    """CCNet-style per-group quality bucketing (Wenzek et al. 2020): split
+    each group (language) into ``n_buckets`` equal-population tiers of a
+    quality score — with 3 buckets the classic head/middle/tail, where
+    *head* is the best-scoring tier (lowest score when ``ascending``,
+    e.g. perplexity; highest when not, e.g. stopword ratio). Appends
+    ``bucket`` (1 = head) and, for n_buckets=3, ``bucket_label``.
+
+    Two modes:
+
+    * ``mode="ntile"`` — exact equal-population NTILE over
+      ``(score, id)`` (deterministic total order, engine-portable:
+      DuckDB's NTILE buckets identically). One window shuffle with a
+      PER-GROUP SORT: correct, but the sort for a hot language (web data
+      is eng-dominated) lands on one task — the small-data/oracle twin.
+    * ``mode="cutoff"`` (default) — the 100 TB path: per-group quantile
+      cutoffs via ``approx_percentile`` (KLL-style mergeable sketch,
+      map-side combinable, bounded state), broadcast the one-row-per-group
+      cutoff table back, label with a codegen comparison chain. No sort
+      anywhere; the only shuffle is the tiny sketch aggregate. Bucket
+      populations are equal within the sketch's rank error (exact when the
+      group fits the sketch, i.e. below ``accuracy`` rows).
+
+    Ties: rows equal to a cutoff go to the lower bucket in cutoff mode;
+    ntile mode breaks ties by ``id_col``.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    from pyspark.sql import Window
+
+    sgn = 1.0 if ascending else -1.0
+    skey = (F.col(score_col) * F.lit(sgn)).cast("double")
+    if mode == "ntile":
+        w = Window.partitionBy(group_col).orderBy(
+            skey.asc(), F.col(id_col).asc()
+        )
+        out = df.withColumn("bucket", F.ntile(n_buckets).over(w))
+    elif mode == "cutoff":
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = df.groupBy(group_col).agg(
+            F.percentile_approx(
+                skey, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+            ).alias("_cuts")
+        )
+        bucket = F.lit(1)
+        for i in range(n_buckets - 1):
+            bucket = bucket + F.when(
+                skey > F.col("_cuts").getItem(i), 1
+            ).otherwise(0)
+        out = (
+            df.join(F.broadcast(cuts), group_col)
+            .withColumn("bucket", bucket)
+            .drop("_cuts")
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    if n_buckets == 3:
+        out = out.withColumn(
+            "bucket_label",
+            F.element_at(
+                F.array(*[F.lit(x) for x in BUCKET_LABELS_3]), F.col("bucket")
+            ),
+        )
+    return out
+
+
 def corpus_sketches(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     group_cols: "tuple[str, ...]" = ("source",)) -> DataFrame:

@@ -762,6 +762,62 @@ def test_curate_corpus_composition(spark):
     assert curated != raw  # upstream stages changed the selection
 
 
+def test_quality_buckets_cutoff_matches_ntile(spark):
+    """quality_buckets: the cutoff scale path (sketch cutoffs + broadcast,
+    no per-group sort) agrees with the exact ntile twin on tie-free data
+    (the sketch is exact below `accuracy` rows); buckets are contiguous
+    score ranges per group; ascending flag flips which end is head; the
+    cutoff plan contains NO Window/Sort over the data side."""
+    from pyspark.sql import functions as F
+
+    from heliport_spark.operators.corpus import quality_buckets
+
+    # tie-free scores: two groups, 30 + 31 rows, irrational-ish spacing
+    rows = [(i, "g1", (i * 37 % 101) + i / 1000.0) for i in range(30)]
+    rows += [(100 + i, "g2", (i * 53 % 97) + i / 1000.0) for i in range(31)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    exact = {
+        r["doc_id"]: r["bucket"]
+        for r in quality_buckets(df, "score", mode="ntile").collect()
+    }
+    cut = quality_buckets(df, "score", mode="cutoff").cache()
+    try:
+        got = {r["doc_id"]: r["bucket"] for r in cut.collect()}
+        agree = sum(exact[k] == got[k] for k in exact) / len(exact)
+        assert agree >= 0.95, f"cutoff vs ntile agreement {agree:.2f}"
+        # buckets are contiguous in score per group: max(head) < min(middle)…
+        for g in ("g1", "g2"):
+            spans = {
+                r["bucket"]: (r["lo"], r["hi"])
+                for r in cut.filter(F.col("lang") == g)
+                .groupBy("bucket")
+                .agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+                .collect()
+            }
+            assert set(spans) == {1, 2, 3}
+            assert spans[1][1] <= spans[2][0] and spans[2][1] <= spans[3][0]
+        # labels: bucket 1 = head
+        labels = dict(
+            cut.select("bucket", "bucket_label").distinct().collect()
+        )
+        assert labels == {1: "head", 2: "middle", 3: "tail"}
+        # descending: the best score moves from tail to head
+        top_id = max(rows[:30], key=lambda r: r[2])[0]
+        desc = {
+            r["doc_id"]: r["bucket_label"]
+            for r in quality_buckets(
+                df, "score", mode="cutoff", ascending=False
+            ).collect()
+        }
+        assert desc[top_id] == "head" and got[top_id] == 3
+        # scale posture: no sort of the corpus side in the cutoff plan
+        plan = cut._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    finally:
+        cut.unpersist()
+
+
 def test_token_budget_sample(spark):
     """Greedy token-budget fill: admission order is the portable hash rank,
     the budget-crossing doc is admitted, everything after is not; per-group
