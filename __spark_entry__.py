@@ -986,6 +986,15 @@ def _quality_buckets(spark, sf):
     ).select("doc_id", "lang", "sw_ratio", "bucket", "bucket_label")
 
 
+def _source_reputation(spark, sf):
+    """Domain-reputation gate (RefinedWeb stage: drop whole low-quality
+    domains before per-doc filtering) — sources below a 9/10 Gopher keep
+    rate lose ALL their docs, survivors also pass the per-doc rule."""
+    from heliport_spark.operators.corpus import source_reputation_filter
+
+    return source_reputation_filter(_t(spark, sf, "documents"))
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries OUTSIDE the driver's 50-entry correctness cap
     (VERDICT r04 #2). These six SQL warm-ups duplicate plan shapes already
@@ -1004,6 +1013,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_set_ops": _customer_set_ops,
         "parts_never_ordered": _parts_never_ordered,
         "quality_buckets": _quality_buckets,
+        "source_reputation": _source_reputation,
     }
 
 
@@ -1604,6 +1614,35 @@ def extra_oracle_sql() -> dict[str, str]:
          len(list_filter(string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
                          x -> list_contains([{stop_list}], x)))::DOUBLE
          / len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END, 6)"""
+    from heliport_spark.operators.corpus import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS,
+    )
+
+    # the same per-doc metric + keep expressions gopher_rules' oracle uses
+    gopher_m_cte = f"""
+WITH m AS (
+  SELECT doc_id, source,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+              ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS nw,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0.0
+              ELSE length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                   / len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS mwl,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE
+           len(list_filter(string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
+                           x -> list_contains([{stop_list}], x))) END AS sh
+  FROM documents
+),
+k AS (
+  SELECT doc_id, source,
+         CASE WHEN nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+              AND mwl BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+              AND sh >= {GOPHER_MIN_STOPWORD_HITS} THEN 1 ELSE 0 END AS keep
+  FROM m
+)"""
     return {
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -1664,4 +1703,10 @@ SELECT doc_id, lang, sw_ratio, bucket,
        CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
             ELSE 'tail' END AS bucket_label
 FROM b""",
+        "source_reputation": gopher_m_cte + """,
+good AS (
+  SELECT source FROM k GROUP BY source
+  HAVING sum(keep) * 10 >= count(*) * 9
+)
+SELECT doc_id, source FROM k JOIN good USING (source) WHERE keep = 1""",
     }

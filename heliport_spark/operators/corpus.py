@@ -470,6 +470,48 @@ def temperature_resample(df: DataFrame, total: int = TEMP_TOTAL,
     )
 
 
+def source_reputation_filter(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             group_col: str = "source",
+                             min_keep_num: int = 9,
+                             min_keep_den: int = 10,
+                             require_doc_keep: bool = True) -> DataFrame:
+    """RefinedWeb/C4-style domain-reputation gate: drop EVERY document from
+    a source (domain) whose Gopher keep rate falls below
+    ``min_keep_num/min_keep_den`` — a domain that is mostly junk poisons
+    even its passing pages (boilerplate farms, SEO spam). Survivors are
+    docs from reputable sources; ``require_doc_keep=True`` (default)
+    additionally requires the doc itself to pass ``gopher_keep_expr``.
+
+    The threshold is an exact-integer cross-multiplication
+    (``n_keep * den >= n_docs * num``) so the decision is bit-portable
+    across engines — no float division at the boundary.
+
+    Scale shape: one map-side-combinable per-source count aggregate (the
+    same T1 shuffle shape as gopher_quality), then an equi-join of docs
+    against the surviving-source list. The source table is corpus-distinct
+    domains (~10^8 rows at web scale) — deliberately NOT a forced
+    broadcast; AQE picks broadcast when it fits (it does at test scale).
+    """
+    keep = gopher_keep_expr(F.col(text_col))
+    rows = df.select(
+        F.col(group_col), F.col(id_col), keep.cast("int").alias("_k")
+    )
+    good = (
+        rows.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_k").alias("_nk"))
+        .filter(
+            F.col("_nk") * F.lit(int(min_keep_den))
+            >= F.col("_n") * F.lit(int(min_keep_num))
+        )
+        .select(group_col)
+    )
+    out = rows.join(good, group_col)
+    if require_doc_keep:
+        out = out.filter(F.col("_k") == 1)
+    return out.select(id_col, group_col)
+
+
 BUCKET_LABELS_3 = ("head", "middle", "tail")
 
 

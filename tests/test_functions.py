@@ -762,6 +762,28 @@ def test_curate_corpus_composition(spark):
     assert curated != raw  # upstream stages changed the selection
 
 
+def test_source_reputation_filter(spark):
+    """Domain gate: a junk-heavy source loses ALL its docs (even its one
+    good page); a reputable source keeps only its passing docs — unless
+    require_doc_keep=False, which admits everything from good sources."""
+    from heliport_spark.operators.corpus import source_reputation_filter
+
+    good_text = "the quick brown fox jumps over the lazy dog again and again"
+    junk_text = "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"
+    rows = [(i, "spamfarm", junk_text) for i in range(9)]
+    rows += [(9, "spamfarm", good_text)]               # 1/10 keep rate
+    rows += [(100 + i, "news", good_text) for i in range(9)]
+    rows += [(109, "news", junk_text)]                 # 9/10 keep rate
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = source_reputation_filter(df).collect()
+    ids = {r["doc_id"] for r in kept}
+    assert ids == {100 + i for i in range(9)}  # spamfarm fully gone,
+    # news keeps only its passing docs; with the doc-level rule off, the
+    # whole reputable domain survives (109 included), spamfarm still gone
+    all_news = source_reputation_filter(df, require_doc_keep=False).collect()
+    assert {r["doc_id"] for r in all_news} == {100 + i for i in range(10)}
+
+
 def test_quality_buckets_cutoff_matches_ntile(spark):
     """quality_buckets: the cutoff scale path (sketch cutoffs + broadcast,
     no per-group sort) agrees with the exact ntile twin on tie-free data
