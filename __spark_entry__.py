@@ -637,6 +637,73 @@ def _audio_mel(spark, sf):
     )
 
 
+def _audio_suite(spark, sf):
+    """The audio prep chain END-TO-END in one driver entry: resample to
+    8 kHz → loudness-normalize → 200 ms chunking → log-mel features over
+    the chunks. Each stage is the standalone operator the individual
+    `audio_resample` / `audio_loudness` / `audio_chunks` / `audio_mel`
+    queries (now in extra_queries, still benched + pytest-pinned) run in
+    isolation; chaining them here keeps all four inside the driver's
+    50-entry correctness cap AND verifies the stages compose (each stage
+    consumes the previous one's output bytes, so a schema/contract break
+    anywhere in the chain fails this query). Rows-only (FFT/resample are
+    not ANSI-SQL-expressible). Per north-rule/ADVICE: un-resamplable rows
+    (sr_rs NULL) are filtered before treating bytes_rs as PCM."""
+    from heliport_spark.functions.audio import (
+        chunk_audio_df,
+        mel_stats_df,
+        normalize_loudness_df,
+        resample_audio_df,
+    )
+    from heliport_spark.sources.clips import clips_from_documents
+
+    clips = clips_from_documents(spark, sf, with_golden=False, max_pcm_ms=500)
+    rs = (
+        resample_audio_df(clips, target_sr=8000)
+        .filter(F.col("sr_rs").isNotNull())
+        .select("clip_id", F.col("bytes_rs").alias("bytes"),
+                F.col("sr_rs").alias("sr_hz"))
+    )
+    norm = normalize_loudness_df(rs).drop("bytes").withColumnRenamed(
+        "bytes_norm", "bytes"
+    )
+    chunks = chunk_audio_df(norm, window_ms=200, min_tail_ms=50)
+    feats = mel_stats_df(chunks)
+    return feats.groupBy("sr_hz").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("clip_id").alias("n_clips"),
+        F.sum("n_frames").alias("total_frames"),
+        F.round(F.avg("mel_mean"), 4).alias("avg_mel_mean"),
+        F.round(F.avg("mel_dom_bin"), 2).alias("avg_dom_bin"),
+    )
+
+
+def _audio_fingerprints(spark, sf):
+    """Landmark (Shazam/Wang-2003) audio fingerprint matching: constellation
+    peaks → (f1,f2,dt) landmark hashes → capped hash self-join → offset
+    vote. Finds PARTIAL audio overlaps with their time alignment — the
+    planted 2 s slice fixture must surface at its true 31-frame offset
+    against broadband background clips plus the corpus' 440 Hz tone family
+    (the degenerate shared-hum bucket, flowing through MAX_BUCKET).
+    Rows-only (FFT not ANSI-SQL-expressible); offset exactness, repeat-cap
+    and false-pair separation are pinned in
+    tests/test_functions.py::test_audio_fingerprint_matches."""
+    from heliport_spark.functions.audio import audio_fingerprints_df
+    from heliport_spark.operators.similarity import audio_fingerprint_matches
+    from heliport_spark.sources.clips import (
+        clips_from_documents,
+        fingerprint_fixture_clips,
+    )
+
+    clips = clips_from_documents(spark, sf, with_golden=False, max_pcm_ms=300)
+    # 40 tone-family clips exercise the hum bucket; the fixture plants the
+    # true overlap pair
+    sub = clips.filter(F.col("clip_id") < "clip-000000000040")
+    sub = sub.unionByName(fingerprint_fixture_clips(spark))
+    fp = audio_fingerprints_df(sub)
+    return audio_fingerprint_matches(fp).orderBy("id_a", "id_b")
+
+
 # boilerplate span width — ONE constant generates both the Spark query and
 # the DuckDB twin (same discipline as DECON_N; a literal on each side would
 # silently desynchronize on a width change)
@@ -948,21 +1015,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_trigrams": _char_trigrams,
         "ngram_probs": _ngram_probs,
         "posting_lists": _posting_lists,
-        # audio (rows-only)
+        # audio (rows-only; resample/loudness/chunks/mel run CHAINED inside
+        # audio_suite — their standalone queries live in extra_queries)
         "audio_features": _audio_features,
-        "audio_mel": _audio_mel,
+        "audio_suite": _audio_suite,
         "audio_signal_rules": _audio_signal_rules,
-        "audio_loudness": _audio_loudness,
-        "audio_chunks": _audio_chunks,
-        "audio_resample": _audio_resample,
+        "audio_fingerprints": _audio_fingerprints,
         "audio_neardup": _audio_neardup,
+        "audio_vad": _audio_vad,
+        # round-5 curation operators (oracle-exact)
+        "quality_buckets": _quality_buckets,
+        "source_reputation": _source_reputation,
+        "winnow_fingerprints": _winnow_fingerprints,
+        "dedup_incremental": _dedup_incremental,
         # relational warm-ups (tail on purpose — first to drop at any cap)
         "events_sessions": _events_sessions,
         "events_json": _events_json,
         "orders_by_month": _orders_by_month,
-        "winnow_fingerprints": _winnow_fingerprints,
-        "dedup_incremental": _dedup_incremental,
-        "audio_vad": _audio_vad,
     }
 
 
@@ -1004,7 +1073,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the anti-join that dedup_materialize/curate_corpus exercise at scale),
     so the driver slots go to real operators instead; tests/test_queries.py
     still verifies all six bit-exactly against extra_oracle_sql(), and
-    bench.py still times the union."""
+    bench.py still times the union. The four standalone audio-prep queries
+    run chained inside the registered `audio_suite` entry; their isolated
+    forms stay here for bench continuity + pytest."""
     return {
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
@@ -1012,8 +1083,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": _revenue_rollup,
         "customer_set_ops": _customer_set_ops,
         "parts_never_ordered": _parts_never_ordered,
-        "quality_buckets": _quality_buckets,
-        "source_reputation": _source_reputation,
+        "audio_mel": _audio_mel,
+        "audio_loudness": _audio_loudness,
+        "audio_chunks": _audio_chunks,
+        "audio_resample": _audio_resample,
     }
 
 
@@ -1599,31 +1672,29 @@ s AS (SELECT id_a, id_b,
         round(sum(ae * be) / (sqrt(sum(ae * ae)) * sqrt(sum(be * be))), 4) AS sim
       FROM px GROUP BY id_a, id_b)
 SELECT id_a, id_b, sim FROM s WHERE sim >= 0.4""",
-    }
-
-
-def extra_oracle_sql() -> dict[str, str]:
-    """DuckDB twins for :func:`extra_queries` — bit-exactness still enforced
-    by tests/test_queries.py, just outside the driver's 50-entry cap."""
-    from heliport_spark.functions.text import STOPWORDS
-
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    # the exact stopword_ratio expression doc_quality's oracle uses (same
-    # STOPWORDS constant generates both engines)
-    sw_sql = f"""round(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE
-         len(list_filter(string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
-                         x -> list_contains([{stop_list}], x)))::DOUBLE
-         / len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END, 6)"""
-    from heliport_spark.operators.corpus import (
-        GOPHER_MAX_MEAN_WORD_LEN,
-        GOPHER_MAX_WORDS,
-        GOPHER_MIN_MEAN_WORD_LEN,
-        GOPHER_MIN_STOPWORD_HITS,
-        GOPHER_MIN_WORDS,
-    )
-
-    # the same per-doc metric + keep expressions gopher_rules' oracle uses
-    gopher_m_cte = f"""
+        # the exact stopword_ratio expression doc_quality's oracle uses
+        # (same STOPWORDS constant generates both engines)
+        "quality_buckets": f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         round(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE
+           len(list_filter(string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
+                           x -> list_contains([{stop_list}], x)))::DOUBLE
+           / len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END, 6) AS sw_ratio
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang, sw_ratio,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY sw_ratio DESC, doc_id) AS bucket
+  FROM s
+)
+SELECT doc_id, lang, sw_ratio, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket_label
+FROM b""",
+        # same per-doc metric + keep expressions gopher_rules' oracle uses
+        "source_reputation": f"""
 WITH m AS (
   SELECT doc_id, source,
          CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
@@ -1638,11 +1709,23 @@ WITH m AS (
 ),
 k AS (
   SELECT doc_id, source,
-         CASE WHEN nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-              AND mwl BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
-              AND sh >= {GOPHER_MIN_STOPWORD_HITS} THEN 1 ELSE 0 END AS keep
+         CASE WHEN nw BETWEEN {_g['minw']} AND {_g['maxw']}
+              AND mwl BETWEEN {_g['minl']} AND {_g['maxl']}
+              AND sh >= {_g['minsh']} THEN 1 ELSE 0 END AS keep
   FROM m
-)"""
+),
+good AS (
+  SELECT source FROM k GROUP BY source
+  HAVING sum(keep) * 10 >= count(*) * 9
+)
+SELECT doc_id, source FROM k JOIN good USING (source) WHERE keep = 1""",
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """DuckDB twins for :func:`extra_queries` — bit-exactness still enforced
+    by tests/test_queries.py, just outside the driver's 50-entry cap. The
+    four audio entries in extra_queries are rows-only (no SQL twin)."""
     return {
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -1689,24 +1772,4 @@ SELECT c_custkey, 'no_orders' AS tag FROM (
 SELECT p_partkey, p_name, p_brand FROM part
 WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_partkey = p_partkey AND l_quantity > 45)""",
-        "quality_buckets": f"""
-WITH s AS (
-  SELECT doc_id, lang, {sw_sql} AS sw_ratio FROM documents
-),
-b AS (
-  SELECT doc_id, lang, sw_ratio,
-         ntile(3) OVER (PARTITION BY lang
-                        ORDER BY sw_ratio DESC, doc_id) AS bucket
-  FROM s
-)
-SELECT doc_id, lang, sw_ratio, bucket,
-       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-            ELSE 'tail' END AS bucket_label
-FROM b""",
-        "source_reputation": gopher_m_cte + """,
-good AS (
-  SELECT source FROM k GROUP BY source
-  HAVING sum(keep) * 10 >= count(*) * 9
-)
-SELECT doc_id, source FROM k JOIN good USING (source) WHERE keep = 1""",
     }

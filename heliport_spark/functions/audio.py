@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     BinaryType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -938,6 +939,142 @@ def denoise_audio_df(df: DataFrame, bytes_col: str = "bytes",
             pdf["bytes_dn"] = pd.Series(outb, dtype=object)
             pdf["noise_db"] = pd.Series(outdb, dtype="float32")
             yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+# --------------------------------- landmark (Shazam-style) fingerprinting
+
+FP_N_FFT = 512
+FP_HOP = 256
+FP_PEAKS = 3        # constellation peaks kept per STFT frame
+FP_FAN = 5          # landmark pairs fanned out per anchor peak
+FP_MAX_DT = 63      # max frame gap anchor→target (6 bits in the hash)
+FP_MAG_FLOOR = 0.01  # absolute peak-magnitude floor (silence emits nothing)
+FP_MAX_REPEAT = 3   # occurrences kept per (clip, hash) — see landmark_hashes
+
+
+def spectral_peaks(wave: "np.ndarray", n_fft: int = FP_N_FFT,
+                   hop: int = FP_HOP,
+                   peaks_per_frame: int = FP_PEAKS) -> "np.ndarray":
+    """Constellation peaks of a waveform: per Hann-windowed STFT frame, the
+    ``peaks_per_frame`` largest frequency-local-maxima bins above an
+    absolute magnitude floor. Returns an (n, 2) int32 array of (frame, bin)
+    sorted by (frame, bin) — fully deterministic (magnitude ties break to
+    the LOWER bin via stable argsort over the bin axis)."""
+    wave = np.asarray(wave, dtype=np.float64)
+    if len(wave) < n_fft:
+        wave = np.pad(wave, (0, n_fft - len(wave)))
+    n_frames = 1 + (len(wave) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    mag = np.abs(np.fft.rfft(wave[idx] * np.hanning(n_fft)[None, :], axis=1))
+    # frequency-local maxima (strictly above the left neighbour, at least
+    # the right — a flat-top pair yields exactly its left member)
+    local = np.zeros_like(mag, dtype=bool)
+    local[:, 1:-1] = (mag[:, 1:-1] > mag[:, :-2]) & (mag[:, 1:-1] >= mag[:, 2:])
+    cand = np.where(local & (mag > FP_MAG_FLOOR), mag, 0.0)
+    # top-k per frame, deterministic: stable argsort of (-mag) keeps lower
+    # bins first among ties
+    order = np.argsort(-cand, axis=1, kind="stable")[:, :peaks_per_frame]
+    rows = np.repeat(np.arange(n_frames), peaks_per_frame)
+    cols = order.ravel()
+    keep = cand[rows, cols] > 0.0
+    pts = np.stack([rows[keep], cols[keep]], axis=1).astype(np.int32)
+    return pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+
+def landmark_hashes(peaks: "np.ndarray", fan_out: int = FP_FAN,
+                    max_dt: int = FP_MAX_DT) -> "np.ndarray":
+    """Pair each constellation peak with its next ``fan_out`` peaks within
+    ``max_dt`` frames → (hash, t1) landmark rows (int64). The hash packs
+    (f1, f2, dt) as ``f1 << 15 | f2 << 6 | dt`` — 9+9+6 bits, so it is
+    translation-invariant: the same audio shifted by k frames emits the
+    same hashes with t1 shifted by k (the matcher's offset vote)."""
+    out = []
+    n = len(peaks)
+    for i in range(n):
+        t1, f1 = int(peaks[i, 0]), int(peaks[i, 1])
+        taken = 0
+        for j in range(i + 1, n):
+            dt = int(peaks[j, 0]) - t1
+            if dt <= 0:
+                continue
+            if dt > max_dt:
+                break
+            out.append(((f1 << 15) | (int(peaks[j, 1]) << 6) | dt, t1))
+            taken += 1
+            if taken >= fan_out:
+                break
+    lm = np.asarray(out, dtype=np.int64).reshape(-1, 2)
+    if len(lm) > FP_MAX_REPEAT:
+        # Cap repeats of the SAME hash within one clip at FP_MAX_REPEAT
+        # (first occurrences by t1). A sustained tone emits one identical
+        # (f1,f2,dt) hash per anchor frame; matched against another clip's
+        # sustained tone those repeats vote a consistent diagonal offset
+        # band, manufacturing false matches between unrelated clips
+        # (measured: 40 votes a↔c on disjoint random tone sequences,
+        # vs 6 after the cap, with the true-overlap votes intact).
+        # Repeats carry no extra landmark information, and capping HERE —
+        # inside the per-clip numpy pass — costs no shuffle, whereas a
+        # (id, hash) window downstream would re-shuffle the whole
+        # fingerprint table on a key the matcher's hash join can't reuse.
+        srt = lm[np.lexsort((lm[:, 1], lm[:, 0]))]
+        new_h = np.flatnonzero(np.diff(srt[:, 0]) != 0) + 1
+        starts = np.concatenate([[0], new_h])
+        occ = np.arange(len(srt)) - np.repeat(starts, np.diff(
+            np.concatenate([starts, [len(srt)]])))
+        kept = srt[occ < FP_MAX_REPEAT]
+        lm = kept[np.lexsort((kept[:, 0], kept[:, 1]))]
+    return lm
+
+
+def audio_fingerprints_df(df: DataFrame, bytes_col: str = "bytes",
+                          codec_col: "str | None" = "codec",
+                          id_col: str = "clip_id") -> DataFrame:
+    """Explode each clip into its landmark-fingerprint table
+    ``(id, hash, t1)`` — the audio twin of the text shingle explode.
+    One Arrow pass (mapInPandas may change row count); undecodable rows
+    emit nothing, mirroring the codec-dispatch row-drop contract.
+    Downstream: ``operators.similarity.audio_fingerprint_matches`` joins
+    on ``hash`` behind the MAX_BUCKET cap and offset-votes — detects
+    PARTIAL overlaps (the same recording embedded in a longer clip) that
+    whole-clip embedding near-dup cannot localize."""
+    out_schema = StructType([
+        StructField("id", StringType()),
+        StructField("hash", LongType()),
+        StructField("t1", IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            codecs = (
+                pdf[codec_col].to_numpy()
+                if codec_col is not None and codec_col in pdf
+                else None
+            )
+            ids, hashes, t1s = [], [], []
+            for i, raw in enumerate(pdf[bytes_col]):
+                if raw is None or len(raw) == 0:
+                    continue
+                try:
+                    wave, _ = decode_by_codec(
+                        raw, None if codecs is None else codecs[i]
+                    )
+                except (ValueError, NotImplementedError):
+                    continue
+                lm = landmark_hashes(spectral_peaks(wave))
+                if not len(lm):
+                    continue
+                ids.extend([pdf[id_col].iloc[i]] * len(lm))
+                hashes.append(lm[:, 0])
+                t1s.append(lm[:, 1].astype(np.int32))
+            yield pd.DataFrame({
+                "id": ids,
+                "hash": np.concatenate(hashes) if hashes
+                else np.array([], dtype=np.int64),
+                "t1": np.concatenate(t1s) if t1s
+                else np.array([], dtype=np.int32),
+            })
 
     return df.mapInPandas(run, schema=out_schema)
 

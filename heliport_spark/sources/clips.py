@@ -218,3 +218,51 @@ def golden_clips(spark: SparkSession, start_id: int = 0) -> DataFrame:
         [(f"clip-{start_id + i:012d}", s) for i, s in enumerate(sents)],
         pcm_seed_base=start_id,
     )
+
+
+def speechish_pcm(seed: int, sr_hz: int = 16000, secs: float = 4.0) -> np.ndarray:
+    """Deterministic broadband 'syllable' audio (noise bursts + 3 modulated
+    sines under a Hann envelope per burst). The fingerprint fixtures need
+    wide, time-varying spectra: the corpus' 440 Hz tone family is the
+    DEGENERATE case for constellation fingerprinting (every clip shares the
+    same quantized FFT bin, i.e. the 'common hum' hot bucket)."""
+    r = np.random.default_rng(seed)
+    n = int(sr_hz * secs)
+    w = np.zeros(n)
+    pos = 0
+    while pos < n:
+        dur = int(sr_hz * r.uniform(0.05, 0.2))
+        burst = r.standard_normal(dur)
+        t = np.arange(dur)
+        for _ in range(3):
+            f = r.uniform(200, 3500)
+            burst += 2.0 * np.sin(2 * np.pi * f * t / sr_hz + r.uniform(0, 6.28))
+        seg = 0.2 * burst * np.hanning(dur)
+        take = min(dur, n - pos)
+        w[pos:pos + take] += seg[:take]
+        pos += dur
+    return np.clip(w, -1, 1)
+
+
+def fingerprint_fixture_clips(spark: SparkSession,
+                              start_id: int = 30_000_000,
+                              n_background: int = 8) -> DataFrame:
+    """Deterministic fixture for landmark fingerprint matching: clip 0 is a
+    4 s broadband recording, clip 1 is its 2 s slice from 0.5 s with added
+    noise (the planted partial overlap — expected offset 8000 samples =
+    31 frames at the 256-sample hop), clips 2.. are unrelated broadband
+    background. Ids live in the 30M namespace (golden=10M, adversarial=20M)."""
+    from ..functions.audio import encode_pcm_s16le
+
+    sr = 16000
+    a = speechish_pcm(1)
+    rng = np.random.default_rng(0)
+    b = a[8000:8000 + 2 * sr] + 0.02 * rng.standard_normal(2 * sr)
+    waves = [a, b] + [speechish_pcm(100 + i) for i in range(n_background)]
+    rows = [
+        (f"clip-{start_id + i:012d}", encode_pcm_s16le(w), sr,
+         len(w) * 1000 // sr, "pcm_s16le",
+         "broadband fingerprint fixture clip")
+        for i, w in enumerate(waves)
+    ]
+    return spark.createDataFrame(rows, schema=CLIPS_SCHEMA)

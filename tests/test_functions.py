@@ -1682,3 +1682,125 @@ def test_denoise_audio_df(spark):
     assert snr_db(clean, dn) > snr_db(clean, decode_pcm_s16le(_pcm(noisy)))
     assert abs(r.noise_db - 20 * np.log10(0.05)) < 2.0
     assert got["bad"].bytes_dn is None and got["bad"].noise_db is None
+
+
+def _speechish(seed, sr=16000, secs=5.0):
+    """Broadband 'syllables': noise bursts + 3 modulated sines under a Hann
+    envelope — realistic wide-spectrum audio for fingerprinting (pure tones
+    are the degenerate worst case: quantized FFT bins collide clip-to-clip)."""
+    r = np.random.default_rng(seed)
+    n = int(sr * secs)
+    w = np.zeros(n)
+    pos = 0
+    while pos < n:
+        dur = int(sr * r.uniform(0.05, 0.2))
+        burst = r.standard_normal(dur)
+        t = np.arange(dur)
+        for _ in range(3):
+            f = r.uniform(200, 3500)
+            burst += 2.0 * np.sin(2 * np.pi * f * t / sr + r.uniform(0, 6.28))
+        env = np.hanning(dur)
+        seg = 0.2 * burst * env
+        take = min(dur, n - pos)
+        w[pos:pos + take] += seg[:take]
+        pos += dur
+    return np.clip(w, -1, 1)
+
+
+def test_spectral_peaks_and_landmarks():
+    """Constellation invariants: determinism, silence emits nothing, repeat
+    cap bounds per-hash occurrences, and hashes are translation-invariant
+    (shifted audio -> same hashes, t1 shifted by the frame offset)."""
+    import numpy as np
+
+    from heliport_spark.functions.audio import (
+        FP_HOP,
+        FP_MAX_REPEAT,
+        landmark_hashes,
+        spectral_peaks,
+    )
+
+    w = _speechish(5, secs=3.0)
+    p1 = spectral_peaks(w)
+    p2 = spectral_peaks(w.copy())
+    assert np.array_equal(p1, p2)  # deterministic
+    assert len(spectral_peaks(np.zeros(16000))) == 0  # silence: no peaks
+
+    lm = landmark_hashes(p1)
+    assert len(lm) > 0
+    _, counts = np.unique(lm[:, 0], return_counts=True)
+    assert counts.max() <= FP_MAX_REPEAT  # in-clip repeat cap holds
+
+    # translation invariance: prepend exactly k hop-aligned frames of the
+    # same audio's tail (keeps windows identical for the shifted part)
+    k = 8
+    shifted = np.concatenate([np.zeros(k * FP_HOP), w])
+    lm_s = landmark_hashes(spectral_peaks(shifted))
+    h = set(map(tuple, lm + np.array([0, k])))  # expected: t1 += k
+    got = set(map(tuple, lm_s))
+    # the overlap region's hashes survive the shift (boundary frames differ)
+    assert len(h & got) > 0.7 * len(h)
+
+
+def test_audio_fingerprint_matches(spark):
+    """Planted partial overlap: clip b = a 2 s slice of clip a at 0.5 s +
+    noise. The landmark vote must find exactly (a, b) at the true frame
+    offset with >=5x the vote mass of any false pair; unrelated clips and
+    undecodable rows must not match at the default floor."""
+    import numpy as np
+
+    from heliport_spark.functions.audio import (
+        FP_HOP,
+        audio_fingerprints_df,
+    )
+    from heliport_spark.operators.similarity import audio_fingerprint_matches
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    a = _speechish(1)
+    off = 8000  # 0.5 s
+    b = a[off:off + 2 * sr] + 0.02 * rng.standard_normal(2 * sr)
+    c = _speechish(2)
+    d = _speechish(3)
+    rows = [("a", _pcm(a), "pcm_s16le"), ("b", _pcm(b), "pcm_s16le"),
+            ("c", _pcm(c), "pcm_s16le"), ("d", _pcm(d), "pcm_s16le"),
+            ("bad", b"\x00\x01", "wav"), ("nul", None, None)]
+    df = spark.createDataFrame(rows, ["clip_id", "bytes", "codec"])
+    fp = audio_fingerprints_df(df)
+    assert fp.filter(fp.id.isin("bad", "nul")).count() == 0
+
+    # at the default floor: exactly the planted pair, at the true offset
+    got = audio_fingerprint_matches(fp).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == ("a", "b")
+    assert r.offset_frames == off // FP_HOP
+    # with the floor off: the true pair's votes dominate every false pair
+    allv = {(x.id_a, x.id_b): x.votes
+            for x in audio_fingerprint_matches(fp, min_votes=1).collect()}
+    false_max = max((v for k, v in allv.items() if k != ("a", "b")), default=0)
+    assert allv[("a", "b")] >= 5 * max(false_max, 1)
+
+
+def test_audio_fingerprint_matches_capped_bucket(spark):
+    """A degenerate hash shared by many clips (the audio 'hum' bucket) goes
+    through the MAX_BUCKET cap: pair emission stays bounded and the true
+    planted pair still surfaces."""
+    import numpy as np
+
+    from heliport_spark.functions.audio import audio_fingerprints_df
+    from heliport_spark.operators.similarity import audio_fingerprint_matches
+
+    sr = 16000
+    # 40 clips all containing the same 440 Hz hum (degenerate bucket),
+    # plus a planted copy pair with rich content
+    hum = 0.3 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+    rows = [(f"h{i}", _pcm(hum), "pcm_s16le") for i in range(40)]
+    rich = _speechish(9, secs=3.0)
+    rows += [("x", _pcm(rich), "pcm_s16le"),
+             ("y", _pcm(rich[:2 * sr]), "pcm_s16le")]
+    df = spark.createDataFrame(rows, ["clip_id", "bytes", "codec"])
+    fp = audio_fingerprints_df(df)
+    m = audio_fingerprint_matches(fp, min_votes=32, max_bucket=4)
+    pairs = {(r.id_a, r.id_b) for r in m.collect()}
+    assert ("x", "y") in pairs

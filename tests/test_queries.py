@@ -38,7 +38,10 @@ def test_driver_registry_at_cap():
     nothing silently falls off, with the overflow parked in extra_queries."""
     assert len(entrymod.queries()) == 50
     assert set(entrymod.extra_queries()).isdisjoint(entrymod.queries())
-    assert set(entrymod.extra_oracle_sql()) == set(entrymod.extra_queries())
+    # every extra oracle has an extra query; rows-only extras (the four
+    # standalone audio-prep queries whose chained form is the registered
+    # audio_suite entry) carry no SQL twin
+    assert set(entrymod.extra_oracle_sql()) <= set(entrymod.extra_queries())
 
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
