@@ -658,6 +658,10 @@ def _audio_suite(spark, sf):
     from heliport_spark.sources.clips import clips_from_documents
 
     clips = clips_from_documents(spark, sf, with_golden=False, max_pcm_ms=500)
+    # bound the bench cost: the chain decodes each clip once per stage (4x),
+    # so cap the subset — 1000 clips exercise every stage contract at any sf
+    # (sf0.01's 500 docs are unaffected; correctness is sf0.01)
+    clips = clips.filter(F.col("clip_id") < "clip-000000001000")
     rs = (
         resample_audio_df(clips, target_sr=8000)
         .filter(F.col("sr_rs").isNotNull())

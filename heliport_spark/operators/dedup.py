@@ -209,6 +209,57 @@ def capped_bucket_pairs(entries: DataFrame, bucket_cols: "list[str]",
     return within if overflow is None else within.unionByName(overflow)
 
 
+def capped_cross_pairs(new: DataFrame, ref: DataFrame,
+                       bucket_cols: "list[str]",
+                       max_bucket: "int | None" = MAX_BUCKET,
+                       carry: "tuple[str, ...]" = ()) -> DataFrame:
+    """Two-corpus twin of :func:`capped_bucket_pairs`: (id_a, id_b) pairs
+    where a NEW-side row shares a bucket key with a REFERENCE-side row
+    (id_a = new id, id_b = ref id; per-row payload columns in ``carry``
+    surface as a_<c>/b_<c>). Same hot-bucket doctrine as
+    :func:`cross_corpus_candidates`: the first ``max_bucket`` members of
+    each side (by id) pair exhaustively (≤ k·k per bucket); every overflow
+    NEW member emits exactly ONE pair with the bucket's FIRST ref row (the
+    representative link, payload included), so the hit signal survives any
+    skew and per-bucket emission is k² + (n_new − k). Ref-side overflow
+    beyond the kept k is dropped (multiplicity lost, never hit/no-hit).
+
+    Scale shape: the ref representative is a map-side-combinable struct-min
+    aggregate (NOT a window over the big side); the two rank windows
+    partition by the bucket key the join needs, so each side pays its one
+    shuffle and Spark's WindowGroupLimit truncates hot buckets map-side."""
+    if max_bucket is None:
+        return new.alias("a").join(ref.alias("b"), bucket_cols).select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            *[F.col(f"a.{c}").alias(f"a_{c}") for c in carry],
+            *[F.col(f"b.{c}").alias(f"b_{c}") for c in carry],
+        )
+    w = Window.partitionBy(*bucket_cols).orderBy("id")
+    # lexicographic struct-min = the min-id ref row WITH its payload, as a
+    # plain aggregate (combines map-side; no window over the big ref side)
+    rep = ref.groupBy(*bucket_cols).agg(
+        F.min(F.struct(F.col("id"), *[F.col(c) for c in carry])).alias("_rep")
+    )
+    ref_kept = (
+        ref.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_bucket).drop("_rk")
+    )
+    new_ranked = new.withColumn("_rk", F.row_number().over(w))
+    new_kept = new_ranked.filter(F.col("_rk") <= max_bucket).drop("_rk")
+    new_over = new_ranked.filter(F.col("_rk") > max_bucket).drop("_rk")
+    within = new_kept.alias("a").join(ref_kept.alias("b"), bucket_cols).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        *[F.col(f"a.{c}").alias(f"a_{c}") for c in carry],
+        *[F.col(f"b.{c}").alias(f"b_{c}") for c in carry],
+    )
+    overflow = new_over.join(rep, bucket_cols).select(
+        F.col("id").alias("id_a"), F.col("_rep.id").alias("id_b"),
+        *[F.col(c).alias(f"a_{c}") for c in carry],
+        *[F.col(f"_rep.{c}").alias(f"b_{c}") for c in carry],
+    )
+    return within.unionByName(overflow)
+
+
 def _band_sigs(mh: DataFrame, bands: int) -> DataFrame:
     """(id, band, sig) rows from a wide minhash frame: all band signatures
     in ONE projection + explode (a per-band select+union would re-execute

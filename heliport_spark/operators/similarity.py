@@ -506,13 +506,21 @@ def audio_fingerprint_matches(fp: DataFrame, min_votes: int = 32,
     if cache:
         fp = fp.persist()
     pairs = capped_bucket_pairs(fp, ["hash"], max_bucket, carry=("t1",))
+    return _offset_vote(pairs, min_votes)
+
+
+def _offset_vote(pairs: DataFrame, min_votes: int) -> DataFrame:
+    """Shared vote stage of the fingerprint matchers: count matching hashes
+    per (pair, frame offset), pick each pair's best offset, apply the vote
+    floor. The count is ONE map-side-combinable aggregate; the argmax is a
+    struct-max re-aggregation of the already-tiny vote table —
+    deterministic (most votes, then the SMALLEST offset among vote ties
+    via the negated field)."""
     votes = (
         pairs.withColumn("dt_off", F.col("a_t1") - F.col("b_t1"))
         .groupBy("id_a", "id_b", "dt_off")
         .agg(F.count(F.lit(1)).alias("votes"))
     )
-    # argmax offset per pair, deterministic: lexicographic struct max =
-    # most votes, then the SMALLEST offset among vote ties (negated field)
     best = (
         votes.groupBy("id_a", "id_b")
         .agg(F.max(F.struct(
@@ -526,3 +534,34 @@ def audio_fingerprint_matches(fp: DataFrame, min_votes: int = 32,
         )
     )
     return best.filter(F.col("votes") >= min_votes)
+
+
+def audio_fingerprint_matches_incremental(
+    fp_new: DataFrame, fp_ref: DataFrame, min_votes: int = 32,
+    max_bucket: "int | None" = MAX_BUCKET, cache: bool = True,
+) -> DataFrame:
+    """Two-corpus landmark matching: which NEW clips (partially) overlap a
+    clip already in the curated REFERENCE corpus — the audio twin of
+    ``dedup.incremental_dedup``, and the realistic 100 TB shape (fingerprint
+    the corpus ONCE to parquet, then match each day's crawl against it).
+    Returns ``(id_a, id_b, offset_frames, votes)`` with id_a from the new
+    side, id_b from the reference.
+
+    Scale shape: the big reference side is never self-joined — both sides
+    meet in ONE equi-join on ``hash`` behind the two-corpus hot-bucket cap
+    (``dedup.capped_cross_pairs``: k·k within the cap, overflow NEW rows
+    link to the bucket's representative ref row so the hit signal survives
+    any skew; a representative link is still a GENUINE hash match — same
+    bucket = same hash — only pair multiplicity is capped). Vote floor
+    calibration is the same as :func:`audio_fingerprint_matches`.
+
+    ``cache`` persists only the (typically small) NEW side; the reference
+    side should be a materialized parquet read, which Spark already plans
+    once per branch."""
+    from .dedup import capped_cross_pairs
+
+    if cache:
+        fp_new = fp_new.persist()
+    pairs = capped_cross_pairs(fp_new, fp_ref, ["hash"], max_bucket,
+                               carry=("t1",))
+    return _offset_vote(pairs, min_votes)

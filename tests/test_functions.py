@@ -1804,3 +1804,45 @@ def test_audio_fingerprint_matches_capped_bucket(spark):
     m = audio_fingerprint_matches(fp, min_votes=32, max_bucket=4)
     pairs = {(r.id_a, r.id_b) for r in m.collect()}
     assert ("x", "y") in pairs
+
+
+def test_audio_fingerprint_matches_incremental(spark):
+    """Two-corpus matching: new clip b (a noisy 2 s slice of reference clip
+    a, sliced at 0.5 s) must match a — and ONLY a — at the true negative
+    offset (b's frames sit 31 frames EARLIER than a's); unrelated new clip
+    d matches nothing. Hot-bucket representative links (max_bucket=2 with
+    40 hum clips on the ref side) must keep the planted hit alive."""
+    import numpy as np
+
+    from heliport_spark.functions.audio import FP_HOP, audio_fingerprints_df
+    from heliport_spark.operators.similarity import (
+        audio_fingerprint_matches_incremental,
+    )
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    a = _speechish(1)
+    off = 8000
+    b = a[off:off + 2 * sr] + 0.02 * rng.standard_normal(2 * sr)
+    ref_rows = [("a", _pcm(a), "pcm_s16le"), ("c", _pcm(_speechish(2)), "pcm_s16le")]
+    new_rows = [("b", _pcm(b), "pcm_s16le"), ("d", _pcm(_speechish(3)), "pcm_s16le")]
+    fp_ref = audio_fingerprints_df(
+        spark.createDataFrame(ref_rows, ["clip_id", "bytes", "codec"]))
+    fp_new = audio_fingerprints_df(
+        spark.createDataFrame(new_rows, ["clip_id", "bytes", "codec"]))
+
+    got = audio_fingerprint_matches_incremental(fp_new, fp_ref).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == ("b", "a")
+    assert r.offset_frames == -(off // FP_HOP)
+
+    # degenerate ref-side bucket: 40 hum clips + the true reference, tight
+    # cap — the planted pair must survive via kept/representative links
+    hum = 0.3 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+    ref2 = ref_rows + [(f"h{i:02d}", _pcm(hum), "pcm_s16le") for i in range(40)]
+    fp_ref2 = audio_fingerprints_df(
+        spark.createDataFrame(ref2, ["clip_id", "bytes", "codec"]))
+    got2 = audio_fingerprint_matches_incremental(
+        fp_new, fp_ref2, max_bucket=2).collect()
+    assert ("b", "a") in {(r.id_a, r.id_b) for r in got2}

@@ -183,3 +183,34 @@ def test_incremental_dedup_plan_no_forced_broadcast(spark):
     assert "ResolvedHint" not in df._jdf.queryExecution().logical().toString()
     plan = plan_of(df)
     assert "CartesianProduct" not in plan and "EvalPython" not in plan
+
+
+def test_fingerprint_match_plan_capped_mapside_and_cached(spark):
+    """The landmark matcher's 100 TB posture: the hot-bucket cap truncates
+    map-side BEFORE the hash shuffle (WindowGroupLimit Partial under the
+    exchange), the offset vote is a partial (map-side-combinable)
+    aggregate, and the fingerprint extraction feeds every join branch from
+    the persisted table (InMemoryTableScan) instead of re-running
+    decode+FFT per branch — mapInPandas stages are not canonicalized as
+    deterministic, so without the persist Spark would plan three
+    independent FFT passes."""
+    import numpy as np
+
+    from heliport_spark.functions.audio import (
+        audio_fingerprints_df,
+        encode_pcm_s16le,
+    )
+    from heliport_spark.operators.similarity import audio_fingerprint_matches
+
+    df = spark.createDataFrame(
+        [("a", bytes(encode_pcm_s16le(np.zeros(1600))), "pcm_s16le")],
+        ["clip_id", "bytes", "codec"],
+    )
+    fp = audio_fingerprints_df(df)
+    m = audio_fingerprint_matches(fp)
+    plan = plan_of(m)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "partial_count" in plan
+    assert plan.count("InMemoryTableScan") >= 2  # both join sides + overflow
+    assert "ResolvedHint" not in m._jdf.queryExecution().logical().toString()
+    fp.unpersist()
