@@ -757,11 +757,15 @@ def _token_budget_sample(spark, sf):
 def _curate_corpus(spark, sf):
     """END-TO-END corpus curation — the full path a training-data team runs,
     composed from the already-oracle-exact stages and their SHARED constants:
-    (0) EXACT dedup first (VERDICT r04 #3): one cheap fingerprint hash-agg
+    (0a) SOURCE-reputation gate first (RefinedWeb order: drop whole junk
+        domains before paying any per-doc work;
+        ``source_reputation_filter(require_doc_keep=False)`` — source-level
+        only, the per-doc Gopher predicate stays at stage 3 so the stages
+        remain orthogonal);
+    (0b) EXACT dedup (VERDICT r04 #3): one cheap fingerprint hash-agg
         collapses byte-identical piles before any banding, which
         structurally removes the degenerate (band, sig) buckets the
-        MAX_BUCKET cap guards against — real curation runs do this first
-        for the same reason;
+        MAX_BUCKET cap guards against;
     (1) near-dup removal over the exact survivors: simhash pairs →
         connected components → drop non-canonical members
         (dedup_materialize's chain);
@@ -769,20 +773,24 @@ def _curate_corpus(spark, sf):
         with the held-out benchmark subset (doc_id % DECON_MOD == 0);
     (3) Gopher quality gate (gopher_keep_expr — same predicate as
         gopher_rules);
-    (4) per-language temperature resampling of what remains.
-    Output (lang, doc_id) — oracle-exact: the DuckDB twin chains the SAME
-    CTE blocks each standalone oracle uses. Stage counts at sf0.01:
-    500 → 500 (exact — the fixture's 13 near-dups are not byte-identical,
-    so stage 0 prunes nothing HERE; its value is the duplicate-heavy case,
-    where it collapses exact piles before they can form degenerate simhash
-    buckets — tests/test_functions.py::test_hot_bucket_cap…) → 487
-    (near-dup) → 442 (benchmark split) → 374 (decon) → 335 (gopher) → 198
-    (resample). Bit-equal to the r04 chain: byte-identical docs share a
-    simhash, so exact-dedup-first removes exactly rows the cluster stage
-    would have dropped anyway (min-id canonicals agree)."""
+    (4) per-language temperature resampling of what remains;
+    (5) CCNet head/middle/tail quality bucketing of the FINAL corpus
+        (labels, not drops — ntile mode for the oracle; the 100 TB path is
+        mode="cutoff", see quality_buckets).
+    Output (lang, doc_id, sw_ratio, bucket, bucket_label) — oracle-exact:
+    the DuckDB twin chains the SAME CTE blocks each standalone oracle uses.
+    Stage counts at sf0.01: 500 → 325 (source gate: junk-heavy synthetic
+    sources dropped whole) → 325 (exact — the fixture's near-dups are not
+    byte-identical; the stage matters on duplicate-heavy data, where it
+    collapses exact piles before they can form degenerate simhash buckets)
+    → 319 (near-dup) → 288 (benchmark split) → 258 (decon) → 245 (gopher)
+    → 195 (resample, then bucketed 3-way per language)."""
+    from heliport_spark.functions import text as T
     from heliport_spark.operators.corpus import (
         decontaminate,
         gopher_keep_expr,
+        quality_buckets,
+        source_reputation_filter,
         temperature_resample,
     )
     from heliport_spark.operators.dedup import (
@@ -792,6 +800,10 @@ def _curate_corpus(spark, sf):
     )
 
     d = _docs_repart(spark, sf)
+    reputable = source_reputation_filter(d, require_doc_keep=False).select(
+        "doc_id"
+    )
+    d = d.join(reputable, "doc_id", "left_semi")
     ex = d.join(exact_dedup(d).select("doc_id"), "doc_id", "left_semi")
     losers = (
         dup_clusters(simhash_pairs(ex))
@@ -807,7 +819,14 @@ def _curate_corpus(spark, sf):
     clean = corpus.join(contaminated, "doc_id", "left_anti").filter(
         gopher_keep_expr(F.col("text"))
     )
-    return temperature_resample(clean)
+    kept = temperature_resample(clean)
+    scored = clean.join(kept.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "lang",
+        F.round(T.stopword_ratio(F.col("text")), 6).alias("sw_ratio"),
+    )
+    return quality_buckets(
+        scored, "sw_ratio", ascending=False, mode="ntile"
+    ).select("lang", "doc_id", "sw_ratio", "bucket", "bucket_label")
 
 
 # per-doc repetition gram width — ONE constant generates both engines
@@ -919,18 +938,30 @@ def _temperature_resample(spark, sf):
     return temperature_resample(_t(spark, sf, "documents"))
 
 
+def _wrap_final_cte(sql: str, as_cte: "str | None") -> str:
+    """Turn a '...CTEs...\\nSELECT ...' block's trailing SELECT into a named
+    CTE so compositions can keep chaining after it."""
+    if as_cte is None:
+        return sql
+    head, _, final = sql.rpartition("\nSELECT ")
+    return f"{head},\n{as_cte} AS (SELECT {final})"
+
+
 def _temperature_resample_sql(src: str = "documents",
-                              with_kw: str = "WITH") -> str:
+                              with_kw: str = "WITH",
+                              as_cte: "str | None" = None) -> str:
     """DuckDB twin of operators/corpus.py::temperature_resample — generated
     from the SAME constants (TEMP_TOTAL, TEMP_WEIGHT_SCALE; alpha=0.5 via
     IEEE sqrt, weights quantized to bigint BEFORE the exact integer
     normalization so no float-sum ordering can flip a floor). ``src``
     parameterizes the source relation so the curate_corpus composition can
     resample ITS survivors with the identical quota math; ``with_kw``
-    lets a caller splice these CTEs into an existing WITH chain."""
+    lets a caller splice these CTEs into an existing WITH chain;
+    ``as_cte`` wraps the final SELECT as a named CTE so the composition can
+    keep chaining (curate_corpus buckets the resampled survivors)."""
     from heliport_spark.operators.corpus import TEMP_TOTAL, TEMP_WEIGHT_SCALE
 
-    return f"""
+    return _wrap_final_cte(f"""
 {with_kw} rows_ AS (SELECT lang AS g, doc_id AS id FROM {src}),
 c AS (SELECT g, count(*) AS n FROM rows_ GROUP BY g),
 cw AS (SELECT g, n,
@@ -946,7 +977,8 @@ r AS (SELECT g, id,
                ORDER BY ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT, id
              ) AS rk
       FROM rows_)
-SELECT r.g AS lang, r.id AS doc_id FROM r JOIN t USING (g) WHERE rk <= target"""
+SELECT r.g AS lang, r.id AS doc_id FROM r JOIN t USING (g) WHERE rk <= target""",
+                           as_cte)
 
 
 def _ann_lsh(spark, sf):
@@ -1068,6 +1100,43 @@ def _source_reputation(spark, sf):
     return source_reputation_filter(_t(spark, sf, "documents"))
 
 
+def _lang_mix(spark, sf):
+    """Mixed-language detection (CCNet-style per-segment LID) over a
+    deterministic documents subset — rows-only (segment-level langid is the
+    HeLI core, not ANSI-SQL-expressible); tie-break determinism and mix
+    arithmetic are pinned in tests/test_multilingual.py::test_lang_mix_df."""
+    from heliport_spark.operators.quality import lang_mix_df
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    return lang_mix_df(d).select(
+        "id", "n_segs", "maj_lang", "maj_segs", "n_langs",
+        F.round("lang_mix_ratio", 6).alias("lang_mix_ratio"),
+    )
+
+
+def _audio_denoise(spark, sf):
+    """Spectral-subtraction denoise over the clips table — rows-only; SNR
+    improvement and noise-floor calibration are pinned in
+    tests/test_functions.py::test_spectral_denoise_improves_snr_and_calibration."""
+    from heliport_spark.functions.audio import audio_features_df, denoise_audio_df
+    from heliport_spark.sources.clips import clips_from_documents
+
+    clips = clips_from_documents(spark, sf, with_golden=False, max_pcm_ms=500)
+    clips = clips.filter(F.col("clip_id") < "clip-000000001000")
+    dn = denoise_audio_df(clips)
+    stats = audio_features_df(
+        dn.filter(F.col("bytes_dn").isNotNull())
+        .select("clip_id", "sr_hz", "noise_db",
+                F.col("bytes_dn").alias("bytes"))
+        , codec_col=None
+    )
+    return stats.groupBy("sr_hz").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg("noise_db"), 2).alias("avg_noise_db"),
+        F.round(F.avg("rms"), 4).alias("avg_rms_dn"),
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries OUTSIDE the driver's 50-entry correctness cap
     (VERDICT r04 #2). These six SQL warm-ups duplicate plan shapes already
@@ -1091,6 +1160,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_loudness": _audio_loudness,
         "audio_chunks": _audio_chunks,
         "audio_resample": _audio_resample,
+        "lang_mix": _lang_mix,
+        "audio_denoise": _audio_denoise,
     }
 
 
@@ -1246,18 +1317,6 @@ walk(id, lab) AS (
     ) + _sh_cand_cte + _walk_sql
     from heliport_spark.operators.dedup import simhash_sql_cte as _sh_cte_fn
 
-    # curate_corpus twin: the SAME component chain, but over the exact-dedup
-    # survivors (stage 0 — fdup/exd CTEs injected ahead of the simhash block;
-    # fp_sql is the same shared fingerprint dedup_exact's oracle uses)
-    _sh_component_cte_exd = _sh_cte_fn(src="exd").replace(
-        "\nWITH ",
-        f"""\nWITH RECURSIVE fdup AS (SELECT doc_id, {fp_sql} AS fp FROM documents),
-exd AS (SELECT * FROM documents WHERE doc_id IN
-        (SELECT min(doc_id) FROM fdup GROUP BY fp)),
-""",
-        1,
-    ) + _sh_cand_cte + _walk_sql
-
     from heliport_spark.operators.corpus import (
         GOPHER_MAX_MEAN_WORD_LEN,
         GOPHER_MAX_WORDS,
@@ -1271,6 +1330,38 @@ exd AS (SELECT * FROM documents WHERE doc_id IN
         minl=GOPHER_MIN_MEAN_WORD_LEN, maxl=GOPHER_MAX_MEAN_WORD_LEN,
         minsh=GOPHER_MIN_STOPWORD_HITS,
     )
+    # curate_corpus twin: the SAME component chain, but over the source-gate
+    # + exact-dedup survivors (stages 0a/0b — srck/goodsrc/repdocs then
+    # fdup/exd CTEs injected ahead of the simhash block; the keep expression
+    # is the same Gopher predicate source_reputation's oracle uses, and
+    # fp_sql is the same shared fingerprint dedup_exact's oracle uses)
+    _sh_component_cte_exd = _sh_cte_fn(src="exd").replace(
+        "\nWITH ",
+        f"""\nWITH RECURSIVE srck AS (
+  SELECT doc_id, source,
+         CASE WHEN (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                    ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END)
+              BETWEEN {_g["minw"]} AND {_g["maxw"]}
+              AND (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0.0
+                   ELSE length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                        / len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END)
+              BETWEEN {_g["minl"]} AND {_g["maxl"]}
+              AND (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE
+                   len(list_filter(string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
+                                   x -> list_contains([{stop_list}], x))) END)
+              >= {_g["minsh"]} THEN 1 ELSE 0 END AS keep
+  FROM documents
+),
+goodsrc AS (SELECT source FROM srck GROUP BY source
+            HAVING sum(keep) * 10 >= count(*) * 9),
+repdocs AS (SELECT d.* FROM documents d JOIN goodsrc USING (source)),
+fdup AS (SELECT doc_id, {fp_sql} AS fp FROM repdocs),
+exd AS (SELECT * FROM repdocs WHERE doc_id IN
+        (SELECT min(doc_id) FROM fdup GROUP BY fp)),
+""",
+        1,
+    ) + _sh_cand_cte + _walk_sql
+
     # word-n-gram CTE for decontaminate (mirrors boilerplate_spans' shape)
     _gramn = f"""
 WITH w AS (
@@ -1631,7 +1722,25 @@ clean AS (
            len(list_filter(string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
                            x -> list_contains([{stop_list}], x))) END)
         >= {_g["minsh"]}
-)""" + _temperature_resample_sql(src="clean", with_kw=","),
+)""" + _temperature_resample_sql(src="clean", with_kw=",", as_cte="kept") + f""",
+scored AS (
+  SELECT c.doc_id, c.lang,
+         round(CASE WHEN regexp_replace(c.text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE
+           len(list_filter(string_split_regex(lower(regexp_replace(c.text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
+                           x -> list_contains([{stop_list}], x)))::DOUBLE
+           / len(string_split_regex(regexp_replace(c.text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END, 6) AS sw_ratio
+  FROM clean c JOIN kept USING (doc_id)
+),
+qbk AS (
+  SELECT doc_id, lang, sw_ratio,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY sw_ratio DESC, doc_id) AS bucket
+  FROM scored
+)
+SELECT lang, doc_id, sw_ratio, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket_label
+FROM qbk""",
         "token_budget_sample": f"""
 WITH t AS (
   SELECT source, doc_id,

@@ -747,19 +747,32 @@ def test_ngram_repetition_per_doc(spark):
 
 def test_curate_corpus_composition(spark):
     """The end-to-end curation query genuinely exercises every stage on the
-    sf0.01 fixture (each prunes: 500 → 487 dedup → 442 corpus-split → 374
-    decon → 335 gopher → 198 resample) and its pick differs from naively
-    resampling the raw corpus."""
+    sf0.01 fixture (each prunes: 500 → 325 source gate → 319 near-dup →
+    288 corpus-split → 258 decon → 245 gopher → 195 resample) and its pick
+    differs from naively resampling the raw corpus; the final CCNet
+    bucketing labels every language's survivors ~equally across
+    head/middle/tail."""
     import __spark_entry__ as E
 
     sf = "/root/testdata/sf0.01"
-    curated = {tuple(r) for r in E._curate_corpus(spark, sf).collect()}
+    rows = E._curate_corpus(spark, sf).collect()
+    curated = {(r.lang, r.doc_id) for r in rows}
     raw = {
         tuple(r)
         for r in E.queries()["temperature_resample"](spark, sf).collect()
     }
     assert len(curated) > 100  # quota genuinely filled from survivors
     assert curated != raw  # upstream stages changed the selection
+    # every row is bucketed; per language, bucket populations differ <= 1
+    # (ntile equal-population guarantee)
+    assert all(r.bucket_label in ("head", "middle", "tail") for r in rows)
+    from collections import Counter
+
+    per_lang = Counter((r.lang, r.bucket) for r in rows)
+    langs = {r.lang for r in rows}
+    for lg in langs:
+        sizes = [per_lang.get((lg, b), 0) for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1
 
 
 def test_source_reputation_filter(spark):
