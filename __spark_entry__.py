@@ -1137,6 +1137,35 @@ def _audio_denoise(spark, sf):
     )
 
 
+def _audio_fingerprints_incremental(spark, sf):
+    """Two-corpus landmark matching (today's crawl vs the curated corpus):
+    REFERENCE = 40 corpus clips + the fixture's full broadband recording,
+    NEW = its noisy 2 s slice + unrelated background. The planted overlap
+    must surface from the cross-corpus capped join at its true (negative)
+    offset — rows-only; exactness pinned in
+    tests/test_functions.py::test_audio_fingerprint_matches_incremental."""
+    from heliport_spark.functions.audio import audio_fingerprints_df
+    from heliport_spark.operators.similarity import (
+        audio_fingerprint_matches_incremental,
+    )
+    from heliport_spark.sources.clips import (
+        clips_from_documents,
+        fingerprint_fixture_clips,
+    )
+
+    clips = clips_from_documents(spark, sf, with_golden=False, max_pcm_ms=300)
+    fixture = fingerprint_fixture_clips(spark)
+    ref = clips.filter(F.col("clip_id") < "clip-000000000040").unionByName(
+        fixture.filter(F.col("clip_id") == "clip-000030000000")
+    )
+    new = fixture.filter(F.col("clip_id") != "clip-000030000000")
+    fp_ref = audio_fingerprints_df(ref)
+    fp_new = audio_fingerprints_df(new)
+    return audio_fingerprint_matches_incremental(fp_new, fp_ref).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries OUTSIDE the driver's 50-entry correctness cap
     (VERDICT r04 #2). These six SQL warm-ups duplicate plan shapes already
@@ -1162,6 +1191,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample": _audio_resample,
         "lang_mix": _lang_mix,
         "audio_denoise": _audio_denoise,
+        "audio_fingerprints_incremental": _audio_fingerprints_incremental,
     }
 
 
