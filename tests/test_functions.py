@@ -1698,26 +1698,13 @@ def test_denoise_audio_df(spark):
 
 
 def _speechish(seed, sr=16000, secs=5.0):
-    """Broadband 'syllables': noise bursts + 3 modulated sines under a Hann
-    envelope — realistic wide-spectrum audio for fingerprinting (pure tones
-    are the degenerate worst case: quantized FFT bins collide clip-to-clip)."""
-    r = np.random.default_rng(seed)
-    n = int(sr * secs)
-    w = np.zeros(n)
-    pos = 0
-    while pos < n:
-        dur = int(sr * r.uniform(0.05, 0.2))
-        burst = r.standard_normal(dur)
-        t = np.arange(dur)
-        for _ in range(3):
-            f = r.uniform(200, 3500)
-            burst += 2.0 * np.sin(2 * np.pi * f * t / sr + r.uniform(0, 6.28))
-        env = np.hanning(dur)
-        seg = 0.2 * burst * env
-        take = min(dur, n - pos)
-        w[pos:pos + take] += seg[:take]
-        pos += dur
-    return np.clip(w, -1, 1)
+    """Broadband 'syllables' — ONE copy of the recipe lives in
+    sources/clips.py (the driver fixture uses it too); pure tones are the
+    degenerate worst case for fingerprinting (quantized FFT bins collide
+    clip-to-clip), so these tests need wide, time-varying spectra."""
+    from heliport_spark.sources.clips import speechish_pcm
+
+    return speechish_pcm(seed, sr_hz=sr, secs=secs)
 
 
 def test_spectral_peaks_and_landmarks():
