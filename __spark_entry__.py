@@ -611,8 +611,14 @@ def _audio_vad(spark, sf):
 
     clips = clips_from_documents(spark, sf, with_golden=False, max_pcm_ms=500)
     clips = clips.unionByName(signal_adversarial_clips(spark))
-    trimmed = trim_silence_df(clips).drop("bytes").withColumnRenamed(
-        "bytes_trim", "bytes"
+    # sr_trim is the effective rate of the trimmed PCM (the WAV container's
+    # embedded rate when it drifts from the sr_hz metadata) — authoritative
+    # for all ms math downstream of the trim
+    trimmed = (
+        trim_silence_df(clips)
+        .drop("bytes", "sr_hz")
+        .withColumnRenamed("bytes_trim", "bytes")
+        .withColumnRenamed("sr_trim", "sr_hz")
     )
     segs = vad_segments_df(trimmed, codec_col=None)
     return segs.select(

@@ -564,11 +564,16 @@ def trim_silence_df(df: DataFrame, bytes_col: str = "bytes",
                     pad_frames: int = 1) -> DataFrame:
     """Strip leading/trailing silence: appends ``bytes_trim`` (raw mono
     PCM16 of the span from the first to the last speech frame, padded by
-    ``pad_frames`` frames of context on each side), ``n_samples_trim``, and
-    ``trim_head_ms`` / ``trim_tail_ms``. Rows that cannot be decoded emit
-    ``bytes_trim`` = NULL (the resample_audio_df contract: NULL marks
-    not-PCM, consumers must gate on it); fully-silent clips emit an EMPTY
-    ``bytes_trim`` with the whole duration accounted to head trim.
+    ``pad_frames`` frames of context on each side), ``sr_trim`` (the
+    EFFECTIVE sample rate of ``bytes_trim`` — the container's embedded rate
+    for WAV input, which can drift from the ``sr_hz`` metadata column; the
+    same contract as ``resample_audio_df``'s ``sr_rs``, and what downstream
+    consumers must use for ms math over the trimmed PCM), ``n_samples_trim``,
+    and ``trim_head_ms`` / ``trim_tail_ms``. Rows that cannot be decoded
+    emit ``bytes_trim`` = NULL and ``sr_trim`` = NULL (the resample_audio_df
+    contract: NULL marks not-PCM, consumers must gate on it); fully-silent
+    clips emit an EMPTY ``bytes_trim`` with the whole duration accounted to
+    head trim.
 
     One Arrow pass, no shuffle; a clip already starting and ending in
     speech passes its samples through byte-identically."""
@@ -576,6 +581,7 @@ def trim_silence_df(df: DataFrame, bytes_col: str = "bytes",
         list(df.schema.fields)
         + [
             StructField("bytes_trim", BinaryType()),
+            StructField("sr_trim", IntegerType()),
             StructField("n_samples_trim", IntegerType()),
             StructField("trim_head_ms", IntegerType()),
             StructField("trim_tail_ms", IntegerType()),
@@ -590,17 +596,17 @@ def trim_silence_df(df: DataFrame, bytes_col: str = "bytes",
                 if codec_col is not None and codec_col in pdf
                 else None
             )
-            outb, outn, outh, outt = [], [], [], []
+            outb, outsr, outn, outh, outt = [], [], [], [], []
             for i, raw in enumerate(pdf[bytes_col]):
                 if raw is None or len(raw) == 0:
-                    outb.append(None), outn.append(0)
+                    outb.append(None), outsr.append(None), outn.append(0)
                     outh.append(0), outt.append(0)
                     continue
                 w, wav_sr = decode_by_codec(
                     raw, codecs[i] if codecs is not None else None
                 )
                 if not len(w):
-                    outb.append(None), outn.append(0)
+                    outb.append(None), outsr.append(None), outn.append(0)
                     outh.append(0), outt.append(0)
                     continue
                 sr = wav_sr or (
@@ -611,17 +617,19 @@ def trim_silence_df(df: DataFrame, bytes_col: str = "bytes",
                 mask, frame = _frame_speech_mask(w, sr, frame_ms, speech_rms)
                 idx = np.flatnonzero(mask)
                 if idx.size == 0:
-                    outb.append(b""), outn.append(0)
+                    outb.append(b""), outsr.append(sr), outn.append(0)
                     outh.append(len(w) * 1000 // sr), outt.append(0)
                     continue
                 s0 = max(0, (int(idx[0]) - pad_frames)) * frame
                 s1 = min(len(w), (int(idx[-1]) + 1 + pad_frames) * frame)
                 outb.append(encode_pcm_s16le(w[s0:s1]))
+                outsr.append(sr)
                 outn.append(s1 - s0)
                 outh.append(s0 * 1000 // sr)
                 outt.append((len(w) - s1) * 1000 // sr)
             pdf = pdf.copy(deep=False)
             pdf["bytes_trim"] = pd.Series(outb, dtype=object)
+            pdf["sr_trim"] = pd.Series(outsr, dtype=object)
             pdf["n_samples_trim"] = np.asarray(outn, dtype=np.int32)
             pdf["trim_head_ms"] = np.asarray(outh, dtype=np.int32)
             pdf["trim_tail_ms"] = np.asarray(outt, dtype=np.int32)

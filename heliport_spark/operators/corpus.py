@@ -152,8 +152,11 @@ def decontaminate_bloom(df: DataFrame, benchmark: DataFrame, n: int = 8,
     ``m_bits``-bit Bloom filter (``k`` portable md5-derived hash functions)
     that is collected once (m_bits/64 longs — 1 MiB at the 2^23 default,
     bounded by construction like the langid model broadcast) and broadcast,
-    so the CORPUS side never shuffles: each corpus gram is probed map-side
-    by a vectorized pandas UDF over its k precomputed bit positions. Output
+    so the corpus never shuffles AGAINST THE BENCHMARK — the corpus-vs-
+    benchmark join is replaced by a map-side broadcast-bitmap probe (each
+    corpus gram tests its k precomputed bit positions in a vectorized
+    pandas UDF); the corpus side still pays its own gram ``distinct()``
+    and per-id count shuffles, same as the exact operator. Output
     (id, n_maybe_shared) — a SUPERSET of the exact operator's contaminated
     ids (Bloom filters have no false negatives; the false-positive rate is
     ≈ (1-e^(-k·n_grams/m_bits))^k — size m_bits ≥ ~8× the benchmark gram
@@ -544,6 +547,11 @@ def quality_buckets(df: DataFrame, score_col: str,
 
     Ties: rows equal to a cutoff go to the lower bucket in cutoff mode;
     ntile mode breaks ties by ``id_col``.
+
+    NULL scores: unscored rows get ``bucket`` = NULL (and a NULL label) in
+    BOTH modes — they are excluded from the tile population / the cutoff
+    sketch, never silently labeled head (NULLs would otherwise sort first
+    in ntile mode and fall through every cutoff comparison).
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
@@ -551,14 +559,18 @@ def quality_buckets(df: DataFrame, score_col: str,
 
     sgn = 1.0 if ascending else -1.0
     skey = (F.col(score_col) * F.lit(sgn)).cast("double")
+    scored = df.filter(F.col(score_col).isNotNull())
+    unscored = df.filter(F.col(score_col).isNull()).withColumn(
+        "bucket", F.lit(None).cast("int")
+    )
     if mode == "ntile":
         w = Window.partitionBy(group_col).orderBy(
             skey.asc(), F.col(id_col).asc()
         )
-        out = df.withColumn("bucket", F.ntile(n_buckets).over(w))
+        out = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
     elif mode == "cutoff":
         probs = [i / n_buckets for i in range(1, n_buckets)]
-        cuts = df.groupBy(group_col).agg(
+        cuts = scored.groupBy(group_col).agg(
             F.percentile_approx(
                 skey, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
             ).alias("_cuts")
@@ -569,12 +581,15 @@ def quality_buckets(df: DataFrame, score_col: str,
                 skey > F.col("_cuts").getItem(i), 1
             ).otherwise(0)
         out = (
-            df.join(F.broadcast(cuts), group_col)
+            scored.join(F.broadcast(cuts), group_col)
             .withColumn("bucket", bucket)
             .drop("_cuts")
         )
     else:
         raise ValueError(f"unknown mode {mode!r}")
+    out = out.withColumn("bucket", F.col("bucket").cast("int")).unionByName(
+        unscored
+    )
     if n_buckets == 3:
         out = out.withColumn(
             "bucket_label",

@@ -170,12 +170,20 @@ def capped_bucket_pairs(entries: DataFrame, bucket_cols: "list[str]",
     it to the shuffle the uncapped join already paid), then the self-join of
     the ≤max_bucket survivors + a linear projection of the overflow rows
     onto their bucket representative. Per-bucket emission is
-    C(min(n, k), 2) + max(0, n − k) — quadratic only below the cap."""
+    C(min(n, k), 2) + max(0, n − k) — quadratic only below the cap.
+
+    Determinism: the rank window orders by (id, *carry) — for tables where
+    (id, bucket) is NOT unique (the audio fingerprint table repeats an
+    (id, hash) up to FP_MAX_REPEAT times with different t1 payloads) the
+    carry tie-break makes the kept/overflow split reproducible, and the
+    overflow branch drops id_a == id_b self-links (a clip whose in-bucket
+    repeat count exceeds the cap would otherwise link to itself; text LSH
+    never hits either case since (id, bucket) is unique there)."""
     if max_bucket is None:
         kept = entries
         overflow = None
     else:
-        w = Window.partitionBy(*bucket_cols).orderBy("id")
+        w = Window.partitionBy(*bucket_cols).orderBy("id", *carry)
         # explicit ROWS running frame: row_number's implicit frame is ROWS
         # (unboundedPreceding, currentRow) while first()'s default over an
         # ordered window is RANGE — mixed frames split into SEPARATE Window
@@ -194,7 +202,7 @@ def capped_bucket_pairs(entries: DataFrame, bucket_cols: "list[str]",
             F.col("id").alias("id_b"),
             *[F.col(f"_rep_{c}").alias(f"a_{c}") for c in carry],
             *[F.col(c).alias(f"b_{c}") for c in carry],
-        )
+        ).filter(F.col("id_a") != F.col("id_b"))
     a = kept.alias("a")
     b = kept.alias("b")
     cond = (F.col("a.id") < F.col("b.id"))
@@ -234,7 +242,10 @@ def capped_cross_pairs(new: DataFrame, ref: DataFrame,
             *[F.col(f"a.{c}").alias(f"a_{c}") for c in carry],
             *[F.col(f"b.{c}").alias(f"b_{c}") for c in carry],
         )
-    w = Window.partitionBy(*bucket_cols).orderBy("id")
+    # (id, *carry) order for the same determinism contract as
+    # capped_bucket_pairs: tables with repeated (id, bucket) rows (audio
+    # fingerprints) get a reproducible kept/overflow split
+    w = Window.partitionBy(*bucket_cols).orderBy("id", *carry)
     # lexicographic struct-min = the min-id ref row WITH its payload, as a
     # plain aggregate (combines map-side; no window over the big ref side)
     rep = ref.groupBy(*bucket_cols).agg(
@@ -942,11 +953,24 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             .withColumn("lab", F.col("id"))
         )
         changed = 0
+        lab_t = dict(labels.dtypes)["lab"]
+        ckpt = labels  # the round's materialized frame (unpersist target)
         for rnd in range(max_iters):
-            parts = [labels]
+            # carry each node's CURRENT label through the union as `old`
+            # (non-null only on the self part — every id appears exactly
+            # once there) so the convergence check is computed inside the
+            # same groupBy that produces the new labels: `changed` then
+            # costs a filter-count over the freshly CHECKPOINTED label
+            # table (O(V), cached blocks, no shuffle) instead of the
+            # former O(E) join of new vs old labels (VERDICT r5 #4 — the
+            # join made curate_corpus ~3 jobs/round)
+            parts = [labels.withColumn("old", F.col("lab"))]
             prop = edges.join(
                 labels.withColumnRenamed("id", "src"), "src"
-            ).select(F.col("dst").alias("id"), "lab")
+            ).select(
+                F.col("dst").alias("id"), "lab",
+                F.lit(None).cast(lab_t).alias("old"),
+            )
             parts.append(prop)
             if rnd >= 3:
                 # still unconverged after 3 plain rounds ⇒ long-diameter
@@ -966,19 +990,24 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                         ),
                         F.col("x.lab") == F.col("jid"),
                     )
-                    .select(F.col("x.id").alias("id"), F.col("jlab").alias("lab"))
+                    .select(
+                        F.col("x.id").alias("id"),
+                        F.col("jlab").alias("lab"),
+                        F.lit(None).cast(lab_t).alias("old"),
+                    )
                 )
                 parts.append(jmp)
             u = parts[0]
             for extra in parts[1:]:
                 u = u.union(extra)
-            new_labels = _cut(u.groupBy("id").agg(F.min("lab").alias("lab")))
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.lab") != F.col("o.lab"))
-                .count()
+            new_labels = _cut(
+                u.groupBy("id")
+                .agg(F.min("lab").alias("lab"), F.max("old").alias("old"))
+                .withColumn("_chg", F.col("lab") != F.col("old"))
             )
+            # the frame is already materialized by the eager checkpoint —
+            # this count scans cached label blocks, no join, no shuffle
+            changed = new_labels.filter(F.col("_chg")).count()
             # free the superseded round's checkpoint blocks now instead of
             # waiting for driver GC + ContextCleaner (otherwise up to
             # max_iters copies of the label table stay pinned in executor
@@ -986,10 +1015,13 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             # localCheckpoint'd frame — best-effort, semantics don't
             # depend on it
             try:
-                labels._jdf.queryExecution().toRdd().unpersist(False)
+                ckpt._jdf.queryExecution().toRdd().unpersist(False)
             except Exception:
                 pass
-            labels = new_labels
+            ckpt = new_labels
+            # projection over the checkpointed frame (free) — drops the
+            # convergence bookkeeping columns before the next round
+            labels = new_labels.select("id", "lab")
             if changed == 0:
                 break
         if changed != 0:

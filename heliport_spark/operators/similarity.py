@@ -514,8 +514,8 @@ def _offset_vote(pairs: DataFrame, min_votes: int) -> DataFrame:
     per (pair, frame offset), pick each pair's best offset, apply the vote
     floor. The count is ONE map-side-combinable aggregate; the argmax is a
     struct-max re-aggregation of the already-tiny vote table —
-    deterministic (most votes, then the SMALLEST offset among vote ties
-    via the negated field)."""
+    deterministic (most votes, then the MINIMUM — most negative — offset
+    among vote ties via the negated field)."""
     votes = (
         pairs.withColumn("dt_off", F.col("a_t1") - F.col("b_t1"))
         .groupBy("id_a", "id_b", "dt_off")
