@@ -790,49 +790,46 @@ def _curate_corpus(spark, sf):
     byte-identical; the stage matters on duplicate-heavy data, where it
     collapses exact piles before they can form degenerate simhash buckets)
     → 319 (near-dup) → 288 (benchmark split) → 258 (decon) → 245 (gopher)
-    → 195 (resample, then bucketed 3-way per language)."""
-    from heliport_spark.functions import text as T
-    from heliport_spark.operators.corpus import (
-        decontaminate,
-        gopher_keep_expr,
-        quality_buckets,
-        source_reputation_filter,
-        temperature_resample,
-    )
-    from heliport_spark.operators.dedup import (
-        dup_clusters,
-        exact_dedup,
-        simhash_pairs,
+    → 195 (resample, then bucketed 3-way per language).
+
+    Implementation: operators/curate.py::curate_documents with the
+    oracle-twin options (exact decon, ntile buckets, no LID gate) — the
+    same chain the 100 TB entry (curate_corpus_lid) runs with the scale
+    options flipped on."""
+    from heliport_spark.operators.curate import curate_documents
+
+    return curate_documents(
+        _docs_repart(spark, sf),
+        decon="exact", decon_mod=DECON_MOD, decon_n=DECON_N,
+        bucket_mode="ntile",
     )
 
-    d = _docs_repart(spark, sf)
-    reputable = source_reputation_filter(d, require_doc_keep=False).select(
-        "doc_id"
+
+def _curate_corpus_lid(spark, sf):
+    """The 100 TB personality of the curation chain — what a RefinedWeb-
+    style run over a real crawl looks like, with the engine's FLAGSHIP
+    operator (the HeLI language identifier, /root/reference/src/
+    identifier.rs) gating the corpus right after the source gate:
+
+    source gate → LID gate (drop und/zxx; the PREDICTED language drives
+    every downstream per-language stage — web data has no ground-truth
+    lang column) → exact dedup → simhash near-dup → BLOOM decontamination
+    (broadcast bitmap probe, the corpus never joins the benchmark) →
+    Gopher → temperature resample (per predicted lang) → CCNet buckets in
+    mode="cutoff" (sketch cutoffs, no per-language sort — en-skew immune).
+
+    Rows-only (the HeLI scorer is not ANSI-SQL-expressible); the chain's
+    stage counts and its agreement with the oracle-exact ntile/exact-decon
+    twin are pinned in tests/test_queries.py::test_curate_corpus_lid_*."""
+    from heliport_spark.operators.curate import curate_documents
+
+    return curate_documents(
+        _docs_repart(spark, sf),
+        lid=True,
+        decon="bloom", decon_mod=DECON_MOD, decon_n=DECON_N,
+        bloom_m_bits=BLOOM_M_BITS, bloom_k=BLOOM_K,
+        bucket_mode="cutoff",
     )
-    d = d.join(reputable, "doc_id", "left_semi")
-    ex = d.join(exact_dedup(d).select("doc_id"), "doc_id", "left_semi")
-    losers = (
-        dup_clusters(simhash_pairs(ex))
-        .filter(F.col("is_canonical") == 0)
-        .select(F.col("id").alias("doc_id"))
-    )
-    surv = ex.join(losers, "doc_id", "left_anti")
-    bench = surv.filter(F.col("doc_id") % DECON_MOD == 0)
-    corpus = surv.filter(F.col("doc_id") % DECON_MOD != 0)
-    contaminated = decontaminate(corpus, bench, n=DECON_N).select(
-        F.col("id").alias("doc_id")
-    )
-    clean = corpus.join(contaminated, "doc_id", "left_anti").filter(
-        gopher_keep_expr(F.col("text"))
-    )
-    kept = temperature_resample(clean)
-    scored = clean.join(kept.select("doc_id"), "doc_id", "left_semi").select(
-        "doc_id", "lang",
-        F.round(T.stopword_ratio(F.col("text")), 6).alias("sw_ratio"),
-    )
-    return quality_buckets(
-        scored, "sw_ratio", ascending=False, mode="ntile"
-    ).select("lang", "doc_id", "sw_ratio", "bucket", "bucket_label")
 
 
 # per-doc repetition gram width — ONE constant generates both engines
@@ -1005,6 +1002,18 @@ def _ann_ivf(spark, sf):
     return ivf_ann_topk(e, q, k=5, n_probe=4)
 
 
+def _ann_ivfpq(spark, sf):
+    """IVF-PQ compressed-vector ANN (VERDICT r5 #3) — rows-only (recall < 1
+    by construction like ann_lsh/ann_ivf; the recall floor vs ann_bruteforce
+    and the 32× candidate-byte reduction are pinned in
+    tests/test_functions.py::test_ann_ivfpq_*)."""
+    from heliport_spark.operators.similarity import ivfpq_ann_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivfpq_ann_topk(e, q, k=5, n_probe=4, rerank=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # EXACTLY 50 entries — the driver's correctness pass covers the first 50
     # registered queries, so the registry is consolidated to fit (VERDICT r04
@@ -1045,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_repetition": _doc_ngram_repetition,
         "token_budget_sample": _token_budget_sample,
         "curate_corpus": _curate_corpus,
+        "curate_corpus_lid": _curate_corpus_lid,          # rows-only
         # langid / quality / scrub
         "heli_identify_docs": _heli_identify_docs,        # rows-only
         "heli_topk_docs": _heli_topk_docs,                # rows-only
@@ -1067,13 +1077,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad": _audio_vad,
         # round-5 curation operators (oracle-exact)
         "quality_buckets": _quality_buckets,
+        "quality_buckets_cutoff": _quality_buckets_cutoff,
         "source_reputation": _source_reputation,
         "winnow_fingerprints": _winnow_fingerprints,
         "dedup_incremental": _dedup_incremental,
-        # relational warm-ups (tail on purpose — first to drop at any cap)
-        "events_sessions": _events_sessions,
-        "events_json": _events_json,
-        "orders_by_month": _orders_by_month,
+        # round-6 scale-path entries (fund: the three relational warm-ups
+        # events_sessions / events_json / orders_by_month moved to
+        # extra_queries — still bit-exact via tests/test_queries.py like
+        # the six r5 warm-ups; the cap policy comment above applies)
+        "ann_ivfpq": _ann_ivfpq,                          # rows-only
     }
 
 
@@ -1094,6 +1106,31 @@ def _quality_buckets(spark, sf):
     )
     return quality_buckets(
         scored, "sw_ratio", ascending=False, mode="ntile"
+    ).select("doc_id", "lang", "sw_ratio", "bucket", "bucket_label")
+
+
+def _quality_buckets_cutoff(spark, sf):
+    """The 100 TB bucketing path DRIVER-GATED (VERDICT r5 #2): sketch
+    cutoffs (percentile_approx, map-side-combinable KLL summary) broadcast
+    back and labeled with a codegen comparison chain — NO per-language
+    sort anywhere, so the eng-skew of real web data (half the corpus on
+    one NTILE sort partition) cannot exist. Oracle-EXACT here, not just
+    rows-only: every language group at sf0.01 fits the sketch's accuracy
+    (10k), where percentile_approx is in its exact regime and returns the
+    same discrete quantile element as DuckDB's quantile_disc (verified
+    bit-for-bit across all groups × both cutoffs); the ntile-vs-cutoff
+    agreement ≥0.95 on skewed data stays pinned in
+    tests/test_functions.py::test_quality_buckets_cutoff."""
+    from heliport_spark.functions import text as T
+    from heliport_spark.operators.corpus import quality_buckets
+
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", "lang",
+        F.round(T.stopword_ratio(F.col("text")), 6).alias("sw_ratio"),
+    )
+    return quality_buckets(
+        scored, "sw_ratio", ascending=False, mode="cutoff"
     ).select("doc_id", "lang", "sw_ratio", "bucket", "bucket_label")
 
 
@@ -1191,6 +1228,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": _revenue_rollup,
         "customer_set_ops": _customer_set_ops,
         "parts_never_ordered": _parts_never_ordered,
+        "events_sessions": _events_sessions,
+        "events_json": _events_json,
+        "orders_by_month": _orders_by_month,
         "audio_mel": _audio_mel,
         "audio_loudness": _audio_loudness,
         "audio_chunks": _audio_chunks,
@@ -1413,18 +1453,6 @@ g AS (
 d AS (SELECT DISTINCT doc_id, gram FROM g)"""
 
     return {
-        "events_sessions": """
-WITH g AS (
-  SELECT user_id, value,
-         epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
-                                               ORDER BY ts, event_id)) AS gap
-  FROM events
-)
-SELECT user_id,
-       (sum(CASE WHEN gap > 1800000 THEN 1 ELSE 0 END) + 1)::BIGINT AS n_sessions,
-       count(*) AS n_events,
-       round(sum(value), 4) AS total_value
-FROM g GROUP BY user_id""",
         "doc_quality": f"""
 SELECT doc_id,
        length(text) AS len_chars,
@@ -1495,18 +1523,6 @@ WITH q AS (
   FROM documents
 )
 SELECT source, count(*) AS n_docs, sum(keep)::BIGINT AS n_keep FROM q GROUP BY source""",
-        "events_json": """
-SELECT event_type, count(*) AS n,
-       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
-       round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
-       max(json_extract(props, '$.k')::BIGINT) AS max_k
-FROM events GROUP BY event_type""",
-        "orders_by_month": """
-SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-       count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total,
-       round(sqrt(avg(o_totalprice)), 4) AS sqrt_avg
-FROM orders GROUP BY yr, mo""",
         "dedup_exact": f"""
 WITH f AS (SELECT doc_id, {fp_sql} AS fp FROM documents),
 g AS (SELECT doc_id, fp,
@@ -1842,6 +1858,33 @@ SELECT doc_id, lang, sw_ratio, bucket,
        CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
             ELSE 'tail' END AS bucket_label
 FROM b""",
+        # cutoff-mode twin: quantile_disc == percentile_approx's exact
+        # regime (groups fit the 10k sketch); same scored CTE, the bucket
+        # is the same >-comparison chain the Spark side codegens. The
+        # negated key mirrors ascending=False (sgn = -1.0) bit-for-bit.
+        "quality_buckets_cutoff": f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         round(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE
+           len(list_filter(string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
+                           x -> list_contains([{stop_list}], x)))::DOUBLE
+           / len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END, 6) AS sw_ratio
+  FROM documents
+),
+c AS (
+  SELECT lang,
+         quantile_disc(-sw_ratio, 1.0/3) AS c1,
+         quantile_disc(-sw_ratio, 2.0/3) AS c2
+  FROM s GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.sw_ratio,
+       (1 + CASE WHEN -s.sw_ratio > c.c1 THEN 1 ELSE 0 END
+          + CASE WHEN -s.sw_ratio > c.c2 THEN 1 ELSE 0 END) AS bucket,
+       CASE (1 + CASE WHEN -s.sw_ratio > c.c1 THEN 1 ELSE 0 END
+               + CASE WHEN -s.sw_ratio > c.c2 THEN 1 ELSE 0 END)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket_label
+FROM s JOIN c USING (lang)""",
         # same per-doc metric + keep expressions gopher_rules' oracle uses
         "source_reputation": f"""
 WITH m AS (
@@ -1890,6 +1933,30 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        "events_sessions": """
+WITH g AS (
+  SELECT user_id, value,
+         epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT user_id,
+       (sum(CASE WHEN gap > 1800000 THEN 1 ELSE 0 END) + 1)::BIGINT AS n_sessions,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM g GROUP BY user_id""",
+        "events_json": """
+SELECT event_type, count(*) AS n,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
+       max(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type""",
+        "orders_by_month": """
+SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total,
+       round(sqrt(avg(o_totalprice)), 4) AS sqrt_avg
+FROM orders GROUP BY yr, mo""",
         "region_revenue": """
 SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        count(*) AS n_items

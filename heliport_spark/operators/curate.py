@@ -1,0 +1,188 @@
+"""End-to-end corpus curation chain — the composed RefinedWeb/CCNet-order
+pipeline a training-data team actually runs, built from the standalone
+oracle-exact stages (source gate, language-ID gate, exact dedup, near-dup
+clustering, decontamination, Gopher rules, temperature resampling, CCNet
+quality bucketing).
+
+Two personalities behind one function:
+
+* ``curate_documents(...)`` with the defaults (``lid=False``,
+  ``decon="exact"``, ``bucket_mode="ntile"``) reproduces the driver's
+  oracle-exact ``curate_corpus`` chain bit-for-bit — every stage has a
+  DuckDB CTE twin and the composition is hash-checked by the driver.
+* ``lid=True, decon="bloom", bucket_mode="cutoff"`` is the 100 TB shape:
+  the flagship HeLI language identifier (the reference's whole product —
+  /root/reference/src/identifier.rs) gates the corpus right after the
+  source gate (RefinedWeb order: LID before any per-doc quality work, so
+  downstream stages only pay for in-scope languages), decontamination runs
+  as a broadcast Bloom-bitmap probe (no corpus-vs-benchmark join), and
+  bucketing uses sketch cutoffs (no per-language sort — immune to the
+  en-skew that puts half the web on one NTILE sort partition).
+
+Scale notes (100 TB): each stage is the scale-audited standalone operator —
+nothing here adds a shuffle beyond what the stages themselves pay. The LID
+stage is ONE scalar-pandas-UDF pass (only the text column crosses the Arrow
+boundary); because the chain references its output from several branches,
+``curate_documents`` persists the post-LID projection (at real scale you
+would materialize it to parquet once — the same contract as the fingerprint
+tables; persist is the single-job twin of that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# languages the LID gate drops: unidentifiable (below-confidence) and
+# non-linguistic content — reference semantics for und/zxx are pinned in
+# heli.py (C5/C7); a real run adds its out-of-scope language list here
+LID_DROP_LANGS = ("und", "zxx")
+
+
+def curate_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    lid: bool = False,
+    decon: str = "exact",
+    decon_mod: int = 11,
+    decon_n: int = 4,
+    bloom_m_bits: int = 1 << 20,
+    bloom_k: int = 4,
+    bucket_mode: str = "ntile",
+    stages: "dict[str, DataFrame] | None" = None,
+) -> DataFrame:
+    """Run the full curation chain over a documents table; returns
+    ``(lang, doc_id, sw_ratio, bucket, bucket_label)`` — the final resampled
+    corpus with its CCNet quality tier.
+
+    Stage order (RefinedWeb: cheap corpus-level gates first, expensive
+    per-doc work only on survivors):
+
+    0a. SOURCE-reputation gate — drop whole junk domains
+        (``source_reputation_filter(require_doc_keep=False)``).
+    0b. LANGUAGE-ID gate (``lid=True``) — HeLI langid over the text column
+        (operators/identify.py); rows identified as ``und``/``zxx`` are
+        dropped and the PREDICTED language replaces ``lang_col`` for every
+        downstream per-language stage (at web scale there is no
+        ground-truth lang column — the LID provides it; reference:
+        /root/reference/src/identifier.rs is the identifier this engine
+        reimplements).
+    1.  EXACT dedup — fingerprint hash-agg collapses byte-identical piles
+        before banding can form degenerate buckets.
+    2.  NEAR-DUP removal — simhash pairs → connected components → drop
+        non-canonical members.
+    3.  DECONTAMINATION — drop survivors sharing any ``decon_n``-gram with
+        the held-out benchmark subset (``id % decon_mod == 0``).
+        ``decon="exact"`` joins gram strings (oracle-exact);
+        ``decon="bloom"`` probes a broadcast Bloom bitmap map-side — the
+        corpus never joins the benchmark; its contaminated-id set is a
+        SUPERSET of exact (no false negatives, FP rate sized by
+        ``bloom_m_bits``), i.e. the safe direction for decon.
+    4.  GOPHER quality gate (``gopher_keep_expr``).
+    5.  TEMPERATURE resampling per language.
+    6.  CCNet quality bucketing (``bucket_mode``: "ntile" = exact
+        equal-population oracle twin; "cutoff" = sketch cutoffs, the
+        no-sort 100 TB path).
+
+    ``stages``: pass a dict to receive the intermediate DataFrames keyed by
+    stage name (source_gate, lid_gate, exact, neardup, corpus, decon,
+    gopher, resampled) — the composition test pins their counts.
+    """
+    from ..functions import text as T
+    from .corpus import (
+        decontaminate,
+        decontaminate_bloom,
+        gopher_keep_expr,
+        quality_buckets,
+        source_reputation_filter,
+        temperature_resample,
+    )
+    from .dedup import dup_clusters, exact_dedup, simhash_pairs
+
+    if decon not in ("exact", "bloom"):
+        raise ValueError(f"unknown decon mode {decon!r}")
+
+    def _note(name: str, frame: DataFrame) -> DataFrame:
+        if stages is not None:
+            stages[name] = frame
+        return frame
+
+    # 0a: source gate (source-level only; the per-doc Gopher predicate is
+    # stage 4 so the stages stay orthogonal)
+    reputable = source_reputation_filter(
+        df, text_col=text_col, id_col=id_col, require_doc_keep=False
+    ).select(id_col)
+    d = _note("source_gate", df.join(reputable, id_col, "left_semi"))
+
+    if lid:
+        from .identify import identify_df
+
+        scored_lid = identify_df(d, text_col=text_col, prefix="heli_")
+        gated = scored_lid.filter(
+            ~F.col("heli_lang").isin(*LID_DROP_LANGS)
+        )
+        # the predicted language IS the chain's language from here on
+        d = (
+            gated.drop(lang_col)
+            .withColumnRenamed("heli_lang", lang_col)
+            .select(id_col, lang_col, text_col, "heli_score")
+        )
+        # several downstream branches re-read this frame; persist so the
+        # scorer UDF runs ONCE (at 100 TB: materialize to parquet instead)
+        d = _note("lid_gate", d.persist())
+
+    # 1: exact dedup first — collapses byte-identical piles pre-banding
+    ex = _note(
+        "exact",
+        d.join(
+            exact_dedup(d, text_col=text_col, id_col=id_col).select(id_col),
+            id_col,
+            "left_semi",
+        ),
+    )
+    # 2: near-dup clustering over the exact survivors
+    losers = (
+        dup_clusters(simhash_pairs(ex, text_col=text_col, id_col=id_col))
+        .filter(F.col("is_canonical") == 0)
+        .select(F.col("id").alias(id_col))
+    )
+    surv = _note("neardup", ex.join(losers, id_col, "left_anti"))
+
+    # 3: decontamination against the held-out benchmark split
+    bench = surv.filter(F.col(id_col) % decon_mod == 0)
+    corpus = _note("corpus", surv.filter(F.col(id_col) % decon_mod != 0))
+    if decon == "exact":
+        contaminated = decontaminate(
+            corpus, bench, n=decon_n, text_col=text_col, id_col=id_col
+        ).select(F.col("id").alias(id_col))
+    else:
+        contaminated = decontaminate_bloom(
+            corpus, bench, n=decon_n, m_bits=bloom_m_bits, k=bloom_k,
+            text_col=text_col, id_col=id_col,
+        ).select(F.col("id").alias(id_col))
+    decon_ok = _note(
+        "decon", corpus.join(contaminated, id_col, "left_anti")
+    )
+
+    # 4: Gopher per-doc quality gate
+    clean = _note("gopher", decon_ok.filter(gopher_keep_expr(F.col(text_col))))
+
+    # 5: per-language temperature resampling
+    kept = temperature_resample(clean, id_col=id_col, group_col=lang_col)
+    scored = _note(
+        "resampled",
+        clean.join(kept.select(id_col), id_col, "left_semi").select(
+            id_col,
+            lang_col,
+            F.round(T.stopword_ratio(F.col(text_col)), 6).alias("sw_ratio"),
+        ),
+    )
+
+    # 6: CCNet head/middle/tail bucketing (labels, not drops)
+    return quality_buckets(
+        scored, "sw_ratio", group_col=lang_col, id_col=id_col,
+        ascending=False, mode=bucket_mode,
+    ).select(lang_col, id_col, "sw_ratio", "bucket", "bucket_label")

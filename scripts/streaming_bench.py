@@ -23,8 +23,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def synthetic_clips(stream):
-    """rate-source rows → clips schema (deterministic text from the id)."""
+def synthetic_clips(stream, with_event_time: bool = False):
+    """rate-source rows → clips schema (deterministic text from the id).
+
+    ``with_event_time`` appends an OUT-OF-ORDER ``ts_event`` column: each
+    row's event time lags its arrival time by (id % 20) seconds, so a
+    10-second watermark sees a deterministic mix of on-time and genuinely
+    late (dropped) rows — the event-time replay lane VERDICT r5 #7 asked
+    for, without files or external data."""
     from pyspark.sql import functions as F
 
     words = (
@@ -46,14 +52,21 @@ def synthetic_clips(stream):
             ),
         ),
     )
-    return stream.select(
+    cols = [
         F.concat(F.lit("clip-"), F.col("value")).alias("clip_id"),
         text.alias("transcript"),
         F.lit(bytearray(b"\x00\x00")).alias("bytes"),
         F.lit(16000).alias("sr_hz"),
         F.lit(750).alias("dur_ms"),
         F.lit("pcm_s16le").alias("codec"),
-    )
+    ]
+    if with_event_time:
+        cols.append(
+            (F.col("timestamp")
+             - F.make_interval(secs=(F.col("value") % 20).cast("double"))
+             ).alias("ts_event")
+        )
+    return stream.select(*cols)
 
 
 def run(rows_per_sec: int, seconds: int) -> None:
@@ -69,19 +82,28 @@ def run(rows_per_sec: int, seconds: int) -> None:
     spark = get_spark(app_name="heliport_streaming_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def clips_at(rps: int):
+    def clips_at(rps: int, with_event_time: bool = False):
         rate = (
             spark.readStream.format("rate")
             .option("rowsPerSecond", str(rps))
             .option("numPartitions", "8")
             .load()
         )
-        return synthetic_clips(rate)
+        return synthetic_clips(rate, with_event_time)
 
     results = {}
     for name, df in (
         ("pipeline", streaming_quality_filter(clips_at(rows_per_sec))),
         ("dedup", streaming_exact_dedup(clips_at(rows_per_sec))),
+        # event-time lane: out-of-order replay (events lag arrival by
+        # id%20 s) against a 10 s watermark + 30 s state TTL — rows later
+        # than the watermark are dropped, state expires as the watermark
+        # advances (bounded even on an unbounded key space)
+        ("dedup_event_time", streaming_exact_dedup(
+            clips_at(rows_per_sec, with_event_time=True),
+            event_time_col="ts_event", watermark_delay="10 seconds",
+            ttl_ms=30_000,
+        )),
         # fused near-dup verify: ~13 md5-hash families over every shingle
         # per row, so its ceiling is far below the cheap streams' — feed it
         # a 10×-lower oversubscribed rate so the first batch completes
@@ -99,8 +121,8 @@ def run(rows_per_sec: int, seconds: int) -> None:
             rows = sum(p["numInputRows"] for p in progress)
             secs = sum(p["batchDuration"] for p in progress) / 1000.0
             results[name] = (rows, rows / secs if secs else 0.0)
-            if name in ("dedup", "minhash_verify") and progress and \
-                    progress[-1]["stateOperators"]:
+            if name in ("dedup", "dedup_event_time", "minhash_verify") \
+                    and progress and progress[-1]["stateOperators"]:
                 results[f"{name}_state_rows"] = progress[-1][
                     "stateOperators"
                 ][0]["numRowsTotal"]

@@ -1,0 +1,159 @@
+"""Composition tests for operators/curate.py::curate_documents — the
+end-to-end curation chain in both personalities (oracle-twin defaults and
+the LID + Bloom + cutoff 100 TB shape).
+
+The driver-level bit-exactness of the default chain is covered by
+test_queries.py::curate_corpus; these tests pin what the oracle cannot see:
+stage counts of the LID chain, exact/bloom decon agreement, the Bloom plan
+shape, and genuine multilingual LID-gate behavior.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    par = spark.sparkContext.defaultParallelism
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").repartition(
+        par, "doc_id"
+    )
+
+
+def test_curate_lid_stage_counts(spark):
+    """The registered curate_corpus_lid entry's stage counts at sf0.01 —
+    pinned so any stage-order or gate-semantics drift is caught (the driver
+    check is rows-only for this entry). The LID gate drops 0 rows HERE
+    because every fixture doc is English-like word salad (the scorer
+    correctly says eng for all; und/zxx behavior is exercised on the
+    multilingual corpus below)."""
+    from heliport_spark.operators.curate import curate_documents
+
+    st = {}
+    out = curate_documents(
+        _docs(spark), lid=True, decon="bloom", decon_mod=11, decon_n=4,
+        bloom_m_bits=1 << 20, bloom_k=4, bucket_mode="cutoff", stages=st,
+    )
+    rows = out.collect()
+    counts = {k: v.count() for k, v in st.items()}
+    assert counts == {
+        "source_gate": 325,
+        "lid_gate": 325,
+        "exact": 325,
+        "neardup": 319,
+        "corpus": 288,
+        "decon": 258,
+        "gopher": 245,
+        "resampled": 200,
+    }
+    assert len(rows) == 200
+    # all predicted eng → cutoff buckets split the one group 67/67/66
+    labels = {}
+    for r in rows:
+        assert r["lang"] == "eng"
+        labels[r["bucket_label"]] = labels.get(r["bucket_label"], 0) + 1
+    assert labels == {"head": 67, "middle": 67, "tail": 66}
+
+
+def test_curate_decon_modes_agree(spark):
+    """decon="bloom" must reproduce decon="exact" row-for-row on the fixture
+    (at 2^20 bits vs ~15k benchmark grams the Bloom filter has no false
+    positives — same property the standalone decontaminate_bloom oracle
+    relies on). Everything else held at the oracle defaults."""
+    from heliport_spark.operators.curate import curate_documents
+
+    a = curate_documents(_docs(spark), decon="exact").collect()
+    b = curate_documents(_docs(spark), decon="bloom").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 195  # the curate_corpus oracle row count
+
+
+def test_curate_bloom_plan_has_no_benchmark_join(spark):
+    """Plan pin for the Bloom decon stage (VERDICT r5 #6): in exact mode the
+    decon is a gram equi-join (a join keyed on `gram` appears in the plan);
+    in bloom mode that join is GONE — the benchmark side was consumed
+    driver-side into the broadcast bitmap and the corpus grams are probed
+    map-side by the pandas UDF (an ArrowEvalPython/BatchEvalPython stage
+    the exact chain does not have)."""
+    from heliport_spark.operators.curate import curate_documents
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    exact_plan = plan_of(curate_documents(_docs(spark), decon="exact"))
+    bloom_plan = plan_of(curate_documents(_docs(spark), decon="bloom"))
+    assert "gram" in exact_plan
+    assert "ArrowEvalPython" not in exact_plan
+    assert "gram" not in bloom_plan
+    assert "ArrowEvalPython" in bloom_plan
+
+
+def test_curate_lid_multilingual(spark):
+    """Genuine multilingual behavior of the LID gate: per-language synthetic
+    docs built from the model's own word lists must survive with their
+    language recovered (driving per-language resampling/bucketing), while
+    und (below-confidence noise) and zxx (empty/punctuation) rows are
+    dropped by the gate."""
+    from heliport_spark.operators.curate import curate_documents
+
+    rng = np.random.default_rng(11)
+    rows = []
+    did = 0
+    # three well-separated languages with real frequent words from the
+    # committed model vocabulary (same trick as test_multilingual)
+    from pathlib import Path
+
+    src = Path("/root/reference/LanguageModels")
+    langs = [x for x in ("eng", "spa", "fin") if (src / f"{x}.word.model").exists()]
+    if len(langs) < 3:
+        pytest.skip("reference word models unavailable")
+    for lang in langs:
+        with open(src / f"{lang}.word.model", encoding="utf-8") as fh:
+            fh.readline()
+            words = [line.split("\t")[0] for _, line in zip(range(200), fh)]
+        for _ in range(40):
+            n = int(rng.integers(25, 60))
+            # one salted English stopword: the Gopher stopword rule (like
+            # the published one) is English-centric and would otherwise
+            # drop the non-English SOURCES wholesale at stage 0a, before
+            # LID ever runs; one 'the' in 25-60 foreign words cannot flip
+            # the character-n-gram scorer
+            text = " ".join(rng.choice(words, size=n)) + " the"
+            rows.append((did, lang, f"src-{lang}", text))
+            did += 1
+    # zxx bait: punctuation-only text; und bait: the golden corpus's
+    # below-confidence sentence (identifier.rs:398 → expected und). Both
+    # ride INSIDE reputable sources (40/41 keep rate ≥ 9/10) so they reach
+    # the LID gate and the DROP decision is provably the LID's.
+    rows.append((did, "xx", "src-eng", "!!! ??? ... 123 456 789 000 111"))
+    rows.append((did + 1, "xx", "src-spa", "મજાક તરીકે @K."))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"])
+
+    st = {}
+    out = curate_documents(
+        df, lid=True, decon="bloom", bucket_mode="cutoff", stages=st
+    ).collect()
+    lid_rows = st["lid_gate"].select("doc_id", "lang").collect()
+    lid_langs = {r["doc_id"]: r["lang"] for r in lid_rows}
+    # the gate dropped the non-linguistic rows before any dedup work
+    assert did not in lid_langs and (did + 1) not in lid_langs
+    # every planted language recovered as itself through the gate (≥0.9 —
+    # 25-60-word samples from the top-200 vocabulary are the scorer's
+    # bread and butter; the recovery property itself is pinned harder in
+    # test_multilingual)
+    planted = {lang: 0 for lang in langs}
+    hits = {lang: 0 for lang in langs}
+    for rid, lang, _, _ in rows[:-2]:
+        planted[lang] += 1
+        if lid_langs.get(rid) == lang:
+            hits[lang] += 1
+    for lang in langs:
+        assert hits[lang] / planted[lang] >= 0.9, (lang, hits, planted)
+    # the final corpus exists and is labeled by PREDICTED language only
+    # (downstream gates — the English-centric Gopher stopword rule in
+    # particular — legitimately drop the non-English sources wholesale,
+    # which is itself the source gate doing its job on this fixture)
+    assert len(out) > 0
+    assert {r["lang"] for r in out} <= set(langs)
