@@ -745,6 +745,38 @@ def _gopher_rules(spark, sf):
     return gopher_quality(_t(spark, sf, "documents"))
 
 
+# C4-rules fixture structuring: the documents text is punctuation- and
+# newline-free word salad, so the C4 line rules would be vacuously uniform
+# on it. The entry therefore derives a STRUCTURED text first — same
+# determinism discipline as the DECON_MOD benchmark split: a plain
+# (non-regex) token replace turns every ' value ' into a sentence break,
+# and three doc_id residues plant the page-level flags, identically in
+# both engines.
+C4_BREAK_TOKEN = " value "
+C4_LOREM_MOD, C4_BRACE_MOD, C4_BADWORD_MOD = 17, 13, 19
+
+
+def _c4_structured(spark, sf):
+    d = _t(spark, sf, "documents")
+    t = F.replace(F.col("text"), F.lit(C4_BREAK_TOKEN), F.lit(".\n"))
+    t = F.when(F.col("doc_id") % C4_LOREM_MOD == 0,
+               F.concat(t, F.lit(" lorem ipsum"))).otherwise(t)
+    t = F.when(F.col("doc_id") % C4_BRACE_MOD == 0,
+               F.concat(t, F.lit(" {"))).otherwise(t)
+    t = F.when(F.col("doc_id") % C4_BADWORD_MOD == 0,
+               F.concat(t, F.lit(" badword"))).otherwise(t)
+    return d.select("doc_id", t.alias("text"))
+
+
+def _c4_rules(spark, sf):
+    """C4-style page filters (Raffel et al. 2020 §2.2) — the second
+    public-heuristic keep/drop family next to Gopher; oracle-exact over the
+    deterministically structured fixture text."""
+    from heliport_spark.operators.corpus import c4_rules
+
+    return c4_rules(_c4_structured(spark, sf))
+
+
 # token-budget sampling budget — ONE constant generates both engines
 TOKEN_BUDGET = 800
 
@@ -1238,6 +1270,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix": _lang_mix,
         "audio_denoise": _audio_denoise,
         "audio_fingerprints_incremental": _audio_fingerprints_incremental,
+        "c4_rules": _c4_rules,
     }
 
 
@@ -1914,6 +1947,47 @@ SELECT doc_id, source FROM k JOIN good USING (source) WHERE keep = 1""",
     }
 
 
+def _c4_rules_sql() -> str:
+    """DuckDB twin of the c4_rules extra query — the SAME shared constants
+    (operators/corpus.py C4_* + the structuring residues above) generate
+    both engines (CLAUDE.md oracle discipline)."""
+    from heliport_spark.operators.corpus import (
+        C4_BADWORDS,
+        C4_MIN_LINE_WORDS,
+        C4_MIN_SENTENCES,
+    )
+
+    bad_re = r"\b(" + "|".join(C4_BADWORDS) + r")\b"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    replace(text, '{C4_BREAK_TOKEN}', '.' || chr(10))
+    || CASE WHEN doc_id % {C4_LOREM_MOD} = 0 THEN ' lorem ipsum' ELSE '' END
+    || CASE WHEN doc_id % {C4_BRACE_MOD} = 0 THEN ' {{' ELSE '' END
+    || CASE WHEN doc_id % {C4_BADWORD_MOD} = 0 THEN ' badword' ELSE '' END AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         regexp_matches(text, '{bad_re}', 'i') AS has_badword,
+         regexp_matches(text, 'lorem ipsum', 'i') AS has_lorem,
+         contains(text, '{{') AS has_brace
+  FROM s
+),
+k AS (
+  SELECT doc_id, len(lines)::INT AS n_lines,
+         len(list_filter(lines, l -> regexp_matches(l, '[.!?"]\\s*$')
+             AND len(string_split_regex(trim(l), '\\s+')) >= {C4_MIN_LINE_WORDS}
+         ))::INT AS n_kept_lines,
+         has_badword, has_lorem, has_brace
+  FROM m
+)
+SELECT doc_id AS id, n_lines, n_kept_lines, has_badword, has_lorem, has_brace,
+       (NOT has_badword AND NOT has_lorem AND NOT has_brace
+        AND n_kept_lines >= {C4_MIN_SENTENCES}) AS keep
+FROM k"""
+
+
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB twins for :func:`extra_queries` — bit-exactness still enforced
     by tests/test_queries.py, just outside the driver's 50-entry cap. The
@@ -1957,6 +2031,7 @@ SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
        round(sum(o_totalprice), 2) AS total,
        round(sqrt(avg(o_totalprice)), 4) AS sqrt_avg
 FROM orders GROUP BY yr, mo""",
+        "c4_rules": _c4_rules_sql(),
         "region_revenue": """
 SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        count(*) AS n_items

@@ -97,6 +97,71 @@ def gopher_keep_expr(text: Column, m: "dict[str, Column] | None" = None) -> Colu
     )
 
 
+# C4-style page filters (Raffel et al. 2020 §2.2) — a SECOND public-heuristic
+# rule family next to Gopher, so D5 keep/drop isn't a single-source monoculture.
+# The badword list is a tiny stand-in for the public blocklist C4 used (the
+# same placeholder tokens the scrub stage's fixtures plant).
+C4_BADWORDS: "tuple[str, ...]" = ("badword", "slurword", "expletive")
+C4_MIN_SENTENCES = 3      # drop pages with fewer kept lines than this
+C4_MIN_LINE_WORDS = 5     # a kept line needs ≥ this many words
+C4_TERMINAL_RE = r'[.!?"]\s*$'  # kept lines end in terminal punctuation
+C4_BADWORD_RE = r"(?i)\b(" + "|".join(C4_BADWORDS) + r")\b"
+C4_LOREM_RE = r"(?i)lorem ipsum"
+
+
+def c4_metrics(text: Column) -> "dict[str, Column]":
+    """Per-doc C4 signals as pure projections: line counts under the
+    terminal-punctuation + min-words line rule, and the three page-level
+    flags (badword, lorem ipsum, curly brace). Engine-portable: the same
+    regexes drive the DuckDB twin."""
+    lines = F.split(text, r"\n")
+    kept = F.filter(
+        lines,
+        lambda line: line.rlike(C4_TERMINAL_RE)
+        & (
+            F.size(F.split(F.trim(line), r"\s+")) >= C4_MIN_LINE_WORDS
+        ),
+    )
+    return {
+        "n_lines": F.size(lines),
+        "n_kept_lines": F.size(kept),
+        "has_badword": text.rlike(C4_BADWORD_RE),
+        "has_lorem": text.rlike(C4_LOREM_RE),
+        "has_brace": text.contains("{"),
+    }
+
+
+def c4_keep_expr(text: Column, m: "dict[str, Column] | None" = None) -> Column:
+    """The C4 page keep predicate: no badword, no boilerplate marker, no
+    code brace, and at least C4_MIN_SENTENCES lines surviving the line rule
+    (terminal punctuation + ≥ C4_MIN_LINE_WORDS words)."""
+    m = m if m is not None else c4_metrics(text)
+    return (
+        ~m["has_badword"]
+        & ~m["has_lorem"]
+        & ~m["has_brace"]
+        & (m["n_kept_lines"] >= C4_MIN_SENTENCES)
+    )
+
+
+def c4_rules(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Per-doc C4 rule outcomes — (id, n_lines, n_kept_lines, has_badword,
+    has_lorem, has_brace, keep). Pure whole-stage-codegen projections, no
+    shuffle, map-side trivially at any scale (the same T-shape as
+    gopher_quality's per-doc half)."""
+    m = c4_metrics(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        m["n_lines"].alias("n_lines"),
+        m["n_kept_lines"].alias("n_kept_lines"),
+        m["has_badword"].alias("has_badword"),
+        m["has_lorem"].alias("has_lorem"),
+        m["has_brace"].alias("has_brace"),
+        c4_keep_expr(F.col(text_col), m).alias("keep"),
+    )
+
+
 def gopher_quality(df: DataFrame, text_col: str = "text",
                    group_cols: "tuple[str, ...]" = ("source",)) -> DataFrame:
     """Per-group Gopher-rule summary: doc count, keep count, mean metrics."""

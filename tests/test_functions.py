@@ -85,7 +85,7 @@ def test_events_sessions_timezone_independent(spark):
     side effect): identical results under UTC and America/New_York."""
     import __spark_entry__ as e
 
-    q = e.queries()["events_sessions"]
+    q = e.extra_queries()["events_sessions"]  # extra since r6 (cap policy)
     sf = "/root/testdata/sf0.01"
     prior = spark.conf.get("spark.sql.session.timeZone")
     try:
@@ -584,6 +584,39 @@ def test_quota_sample_partitioning_invariant(spark):
     a = sorted(map(tuple, quota_sample(d, k=5).collect()))
     b = sorted(map(tuple, quota_sample(d.repartition(13), k=5).collect()))
     assert a == b and len(a) > 0
+
+
+def test_c4_rules_hand_counts(spark):
+    """C4 page-filter semantics on a hand-built fixture: line keeping
+    (terminal punctuation AND ≥5 words), the three page flags, and the
+    ≥3-kept-lines keep decision — each boundary exercised both ways."""
+    from heliport_spark.operators.corpus import c4_rules
+
+    good = "\n".join(
+        [
+            "this line has exactly six words.",   # kept
+            'five words then a quote"',           # kept (quote terminal)
+            "short line.",                        # dropped: < 5 words
+            "no terminal punctuation on this one",  # dropped: no punct
+            "another sentence with enough words here!",  # kept
+        ]
+    )
+    rows = [
+        (1, good),                                    # 3 kept -> keep
+        (2, good + "\nby the way badword appears."),  # badword -> drop
+        (3, good + "\nLorem Ipsum filler text."),     # lorem (ci) -> drop
+        (4, good + "\ncode { block"),                 # brace -> drop
+        (5, "one good sentence with five words.\nsecond good sentence "
+            "right here too.")                        # 2 kept < 3 -> drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["id"]: r for r in c4_rules(df).collect()}
+    assert got[1]["n_lines"] == 5 and got[1]["n_kept_lines"] == 3
+    assert got[1]["keep"] is True
+    assert got[2]["has_badword"] and not got[2]["keep"]
+    assert got[3]["has_lorem"] and not got[3]["keep"]
+    assert got[4]["has_brace"] and not got[4]["keep"]
+    assert got[5]["n_kept_lines"] == 2 and not got[5]["keep"]
 
 
 def test_text_ops_survive_null_and_empty_text(spark):
