@@ -1038,7 +1038,8 @@ def landmark_hashes(peaks: "np.ndarray", fan_out: int = FP_FAN,
 
 def audio_fingerprints_df(df: DataFrame, bytes_col: str = "bytes",
                           codec_col: "str | None" = "codec",
-                          id_col: str = "clip_id") -> DataFrame:
+                          id_col: str = "clip_id",
+                          carry_cols: "tuple[str, ...]" = ()) -> DataFrame:
     """Explode each clip into its landmark-fingerprint table
     ``(id, hash, t1)`` — the audio twin of the text shingle explode.
     One Arrow pass (mapInPandas may change row count); undecodable rows
@@ -1046,12 +1047,18 @@ def audio_fingerprints_df(df: DataFrame, bytes_col: str = "bytes",
     Downstream: ``operators.similarity.audio_fingerprint_matches`` joins
     on ``hash`` behind the MAX_BUCKET cap and offset-votes — detects
     PARTIAL overlaps (the same recording embedded in a longer clip) that
-    whole-clip embedding near-dup cannot localize."""
+    whole-clip embedding near-dup cannot localize.
+
+    ``carry_cols``: per-clip columns replicated onto every emitted
+    landmark row (the streaming matcher carries its event-time column
+    through the extraction this way — the watermark is re-declared on the
+    carried column afterwards, since a mapInPandas output is a fresh
+    attribute set and cannot inherit the annotation)."""
     out_schema = StructType([
         StructField("id", StringType()),
         StructField("hash", LongType()),
         StructField("t1", IntegerType()),
-    ])
+    ] + [df.schema[c] for c in carry_cols])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1061,6 +1068,7 @@ def audio_fingerprints_df(df: DataFrame, bytes_col: str = "bytes",
                 else None
             )
             ids, hashes, t1s = [], [], []
+            carried: "dict[str, list]" = {c: [] for c in carry_cols}
             for i, raw in enumerate(pdf[bytes_col]):
                 if raw is None or len(raw) == 0:
                     continue
@@ -1074,6 +1082,8 @@ def audio_fingerprints_df(df: DataFrame, bytes_col: str = "bytes",
                 if not len(lm):
                     continue
                 ids.extend([pdf[id_col].iloc[i]] * len(lm))
+                for c in carry_cols:
+                    carried[c].extend([pdf[c].iloc[i]] * len(lm))
                 hashes.append(lm[:, 0])
                 t1s.append(lm[:, 1].astype(np.int32))
             yield pd.DataFrame({
@@ -1082,6 +1092,7 @@ def audio_fingerprints_df(df: DataFrame, bytes_col: str = "bytes",
                 else np.array([], dtype=np.int64),
                 "t1": np.concatenate(t1s) if t1s
                 else np.array([], dtype=np.int32),
+                **{c: carried[c] for c in carry_cols},
             })
 
     return df.mapInPandas(run, schema=out_schema)

@@ -751,10 +751,21 @@ def _offset_vote(pairs: DataFrame, min_votes: int) -> DataFrame:
     struct-max re-aggregation of the already-tiny vote table —
     deterministic (most votes, then the MINIMUM — most negative — offset
     among vote ties via the negated field)."""
-    votes = (
-        pairs.withColumn("dt_off", F.col("a_t1") - F.col("b_t1"))
-        .groupBy("id_a", "id_b", "dt_off")
-        .agg(F.count(F.lit(1)).alias("votes"))
+    return fingerprint_vote_links(
+        pairs.withColumn("dt_off", F.col("a_t1") - F.col("b_t1")), min_votes
+    )
+
+
+def fingerprint_vote_links(links: DataFrame, min_votes: int = 32) -> DataFrame:
+    """Offset vote over raw match LINKS ``(id_a, id_b, dt_off)`` — one row
+    per shared hash. This is the public half of the batch matchers' vote
+    stage, split out so the STREAMING matcher's emitted link stream can be
+    voted identically (per sink batch, or offline over the accumulated
+    link table): count per (pair, offset), struct-max best offset, floor.
+    Both aggregates are map-side combinable; the input is already tiny
+    relative to the fingerprint tables."""
+    votes = links.groupBy("id_a", "id_b", "dt_off").agg(
+        F.count(F.lit(1)).alias("votes")
     )
     best = (
         votes.groupBy("id_a", "id_b")

@@ -774,3 +774,150 @@ def windowed_lang_counts(
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
         )
     )
+
+
+def streaming_fingerprint_links(
+    clips_stream: DataFrame,
+    bytes_col: str = "bytes",
+    codec_col: "str | None" = "codec",
+    id_col: str = "clip_id",
+    max_entries_per_hash: int = 8,
+    ttl_ms: "int | None" = None,
+    event_time_col: "str | None" = None,
+    watermark_delay: "str | None" = None,
+) -> DataFrame:
+    """Streaming landmark-fingerprint matching — the streaming twin of
+    ``operators/similarity.py::audio_fingerprint_matches`` (closes the
+    ROADMAP r5 "known deliberate gap"): clips are fingerprinted in one
+    STATELESS Arrow pass (``audio_fingerprints_df`` — mapInPandas is
+    stream-safe), then a stateful stage keyed by ``hash`` stores the first
+    ``max_entries_per_hash`` (id, t1) landmark entries per hash ACROSS
+    micro-batches and emits one CANONICAL match link
+    (id_a < id_b, ``dt_off`` = a_t1 − b_t1 — the exact orientation the
+    batch matcher's capped join produces) per new-vs-stored collision.
+    Same-id repeat landmarks are stored (they link against other clips)
+    but never self-linked, matching the batch join's id_a < id_b predicate.
+
+    Vote downstream with ``similarity.fingerprint_vote_links`` (per sink
+    micro-batch via foreachBatch, or offline over the accumulated link
+    table): with the cap at or above the hash-bucket sizes the voted
+    matches are IDENTICAL to the batch matcher on the same corpus — pinned
+    in tests/test_streaming.py including a planted overlap whose two clips
+    arrive in DIFFERENT micro-batches (state carries the hash membership
+    across triggers, surviving restarts through the checkpoint).
+
+    Scale notes: per-hash state is BOUNDED (a hot hash — a shared
+    mains-hum landmark — stores its first k entries and links linearly
+    beyond them; the batch operator is the exhaustive path);
+    ``ttl_ms`` bounds state lifetime exactly like streaming_exact_dedup,
+    and ``event_time_col`` + ``watermark_delay`` switch to EVENT-time
+    semantics — late rows are never linked, stored, or horizon-advancing;
+    a hash's state expires ttl_ms past its last on-time event. The event
+    column rides through the fingerprint extraction via ``carry_cols`` and
+    the watermark is RE-declared on the carried column (a mapInPandas
+    output is a fresh attribute set and cannot inherit the annotation)."""
+    from pyspark.sql.streaming.state import GroupState
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    import pandas as pd
+
+    from ..functions.audio import audio_fingerprints_df
+
+    out_schema = StructType([
+        StructField("id_a", StringType()),
+        StructField("id_b", StringType()),
+        StructField("dt_off", IntegerType()),
+    ])
+    state_schema = StructType([
+        StructField("ids", ArrayType(StringType())),
+        StructField("t1s", ArrayType(IntegerType())),
+        StructField("max_evt", LongType()),
+    ])
+
+    event_mode = event_time_col is not None
+    if event_mode:
+        _event_mode_args(event_time_col, watermark_delay, ttl_ms)
+
+    def link_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids = list(state.get[0])
+            t1s = list(state.get[1])
+            prev_max = int(state.get[2]) if event_mode else -1
+        else:
+            ids, t1s, prev_max = [], [], -1
+        out_a: "list[str]" = []
+        out_b: "list[str]" = []
+        out_dt: "list[int]" = []
+        wm = state.getCurrentWatermarkMs() if event_mode else 0
+        max_evt = -1
+        for pdf in pdfs:
+            evts = pdf["_evt"] if event_mode else None
+            new_ids = pdf["id"]
+            new_t1s = pdf["t1"]
+            for row_i in range(len(new_ids)):
+                new_id = new_ids.iloc[row_i]
+                new_t1 = int(new_t1s.iloc[row_i])
+                if event_mode:
+                    evt = int(evts.iloc[row_i])
+                    if evt < wm:
+                        continue  # late: never linked, stored, or TTL-ing
+                    if evt > max_evt:
+                        max_evt = evt
+                for seen_id, seen_t1 in zip(ids, t1s):
+                    if seen_id == new_id:
+                        continue  # batch join's id_a < id_b: no self-links
+                    if new_id < seen_id:
+                        out_a.append(new_id)
+                        out_b.append(seen_id)
+                        out_dt.append(new_t1 - seen_t1)
+                    else:
+                        out_a.append(seen_id)
+                        out_b.append(new_id)
+                        out_dt.append(seen_t1 - new_t1)
+                if len(ids) < max_entries_per_hash:
+                    ids.append(new_id)
+                    t1s.append(new_t1)
+        if event_mode:
+            if max_evt >= 0:  # only on-time activity refreshes the horizon
+                run_max = max(prev_max, max_evt)
+                state.update((ids, t1s, run_max))
+                state.setTimeoutTimestamp(max(run_max + ttl_ms, wm + 1))
+            elif not state.exists:
+                return  # all-late batch must not seed state
+        else:
+            state.update((ids, t1s, 0))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        if out_a:
+            yield pd.DataFrame({
+                "id_a": out_a, "id_b": out_b,
+                "dt_off": pd.array(out_dt, dtype="int32"),
+            })
+
+    src = clips_stream.filter(F.col(id_col).isNotNull())
+    carry = (event_time_col,) if event_mode else ()
+    fp = audio_fingerprints_df(
+        src, bytes_col=bytes_col, codec_col=codec_col, id_col=id_col,
+        carry_cols=carry,
+    )
+    if event_mode:
+        fp = fp.withWatermark(event_time_col, watermark_delay).withColumn(
+            "_evt", F.unix_millis(F.col(event_time_col).cast("timestamp"))
+        )
+    timeout = (
+        "EventTimeTimeout" if event_mode
+        else ("NoTimeout" if ttl_ms is None else "ProcessingTimeTimeout")
+    )
+    return fp.groupBy("hash").applyInPandasWithState(
+        link_fn, out_schema, state_schema, "append", timeout
+    )

@@ -672,3 +672,184 @@ def test_streaming_event_mode_requires_ttl_and_delay(spark):
             op(df, event_time_col="ts")
         with _pytest.raises(ValueError, match="event-time mode requires"):
             op(df, event_time_col="ts", watermark_delay="10 seconds")
+
+
+def test_streaming_fingerprint_links_match_batch(spark):
+    """The streaming landmark matcher, voted with fingerprint_vote_links,
+    returns EXACTLY the batch matcher's results on the same corpus — with
+    the planted partial-overlap pair arriving in TWO different micro-batches
+    (the full recording in trigger 1, its noisy 2 s slice in trigger 2), so
+    the match can only come from per-hash state carried across triggers.
+    Cap set above every fixture hash bucket so the comparison is exact."""
+    from pyspark.sql import functions as F
+
+    from heliport_spark.functions.audio import FP_HOP, audio_fingerprints_df
+    from heliport_spark.operators.similarity import (
+        audio_fingerprint_matches,
+        fingerprint_vote_links,
+    )
+    from heliport_spark.sources.clips import (
+        CLIPS_SCHEMA,
+        fingerprint_fixture_clips,
+    )
+    from heliport_spark.streaming.stream import streaming_fingerprint_links
+
+    clips = fingerprint_fixture_clips(spark)
+    expect = {
+        (r["id_a"], r["id_b"], r["offset_frames"], r["votes"])
+        for r in audio_fingerprint_matches(
+            audio_fingerprints_df(clips), max_bucket=None, cache=False
+        ).collect()
+    }
+    assert expect  # the planted pair must be found by the batch matcher
+
+    base = tempfile.mkdtemp(prefix="hs_fp_stream_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    try:
+        # the overlapping pair is clips 0 and 1 — force them apart
+        first = clips.filter(F.col("clip_id") != "clip-000030000001")
+        second = clips.filter(F.col("clip_id") == "clip-000030000001")
+        first.write.mode("overwrite").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(CLIPS_SCHEMA)
+            .option("maxFilesPerTrigger", 100)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming_fingerprint_links(stream, max_entries_per_hash=4096)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            second.write.mode("append").parquet(in_dir)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        links = spark.read.parquet(out_dir)
+        got = {
+            (r["id_a"], r["id_b"], r["offset_frames"], r["votes"])
+            for r in fingerprint_vote_links(links).collect()
+        }
+        assert got == expect
+        # the planted pair is in there at its true offset (0.5 s = 31 frames)
+        pair = [g for g in got
+                if g[0] == "clip-000030000000" and g[1] == "clip-000030000001"]
+        assert pair and pair[0][2] == 8000 // FP_HOP
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_fingerprint_links_event_time(spark):
+    """EVENT-time mode of the streaming fingerprint matcher: a clip whose
+    event time is behind the advanced watermark is dropped — its landmarks
+    are never linked NOR stored — while on-time clips still match across
+    micro-batches. Event times are data, so every boundary here is
+    deterministic."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from heliport_spark.operators.similarity import fingerprint_vote_links
+    from heliport_spark.sources.clips import fingerprint_fixture_clips
+    from heliport_spark.streaming.stream import streaming_fingerprint_links
+
+    base_t = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(sec):
+        return base_t + dt.timedelta(seconds=sec)
+
+    fx = {
+        r["clip_id"]: bytes(r["bytes"])
+        for r in fingerprint_fixture_clips(spark).collect()
+    }
+    A, B = "clip-000030000000", "clip-000030000001"
+    schema = StructType([
+        StructField("clip_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("codec", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+    base = tempfile.mkdtemp(prefix="hs_fp_evt_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    try:
+        # trigger 1: the full recording, on time at t=1000
+        spark.createDataFrame(
+            [(A, fx[A], "pcm_s16le", ts(1000))], schema
+        ).coalesce(1).write.mode("overwrite").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 100)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming_fingerprint_links(
+                stream, max_entries_per_hash=4096,
+                event_time_col="ts", watermark_delay="10 seconds",
+                # 10,000 s of EVENT time: must outlive the t=1000 → t=5000
+                # watermark jump, or A's hash state data-expires before B's
+                # on-time delivery (the TTL-expiry path itself is pinned by
+                # test_streaming_dedup_event_time_watermark)
+                ttl_ms=10_000_000,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # trigger 2: watermark-advancer far in the future (an unrelated
+            # clip), so wm moves past t=1000
+            spark.createDataFrame(
+                [(("clip-000030000004"), fx["clip-000030000004"],
+                  "pcm_s16le", ts(5000))], schema
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+            q.processAllAvailable()
+            # trigger 3: the overlapping slice arrives LATE (t=1001, far
+            # below the ~t=4990 watermark) → must be dropped, no match
+            spark.createDataFrame(
+                [(B, fx[B], "pcm_s16le", ts(1001))], schema
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+            q.processAllAvailable()
+            # trigger 4: the same slice arrives ON time → match appears
+            spark.createDataFrame(
+                [(B, fx[B], "pcm_s16le", ts(5001))], schema
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        links = spark.read.parquet(out_dir)
+        voted = {(r["id_a"], r["id_b"]): (r["offset_frames"], r["votes"])
+                 for r in fingerprint_vote_links(links).collect()}
+        assert (A, B) in voted
+        # the late delivery contributed NOTHING: the streamed pair's best
+        # offset and vote count equal the batch matcher's for a SINGLE
+        # delivery of B against A (a second linked delivery would double
+        # the vote mass at the winning offset)
+        from heliport_spark.functions.audio import audio_fingerprints_df
+        from heliport_spark.operators.similarity import (
+            audio_fingerprint_matches,
+        )
+
+        two = fingerprint_fixture_clips(spark).filter(
+            F.col("clip_id").isin(A, B)
+        )
+        batch = {(r["id_a"], r["id_b"]): (r["offset_frames"], r["votes"])
+                 for r in audio_fingerprint_matches(
+                     audio_fingerprints_df(two), max_bucket=None, cache=False
+                 ).collect()}
+        assert voted[(A, B)] == batch[(A, B)]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
