@@ -88,6 +88,28 @@ SECTIONS = [
      "persist Spark plans three independent decode+FFT passes), hash "
      "self-join behind the map-side WindowGroupLimit bucket cap, offset "
      "vote as a partial_count aggregate, struct-max best offset"),
+    ("quality_buckets_cutoff",
+     "CCNet bucketing, 100 TB path: ONE partial+final objectHashAgg of "
+     "mergeable percentile sketches (no sort anywhere), cutoffs broadcast "
+     "back into a codegen comparison chain - contrast with the ntile "
+     "twin's per-language window sort"),
+    ("ann_ivfpq",
+     "IVF-PQ: one Arrow encode pass to (centroid, 8-byte code), probe "
+     "equi-join on centroid moving 12 B/corpus row, ADC pandas UDF over "
+     "the broadcast codebooks, window top-rerank, then the full-vector "
+     "fetch join ONLY for the shortlist and the exact-cosine top-k window"),
+    ("curate_corpus_lid",
+     "the full 100 TB curation chain: source gate -> HeLI LID gate (one "
+     "ArrowEvalPython over the persisted post-gate frame) -> exact dedup "
+     "-> simhash/cluster anti-join -> BLOOM decon (broadcast-bitmap probe "
+     "- NO gram join against the benchmark side, the corpus grams only "
+     "pay their own distinct) -> Gopher -> per-predicted-lang resample -> "
+     "cutoff buckets (sketch agg, no sort); persisted stage frames appear "
+     "as InMemoryTableScans feeding the multi-branch stages"),
+    ("c4_rules",
+     "C4 page filters: pure whole-stage-codegen projection over one "
+     "pruned scan - line split/filter/size and the three flag regexes "
+     "never leave the JVM, no exchange at all"),
 ]
 
 HEADER = """# PLANS - physical-plan review artifacts
