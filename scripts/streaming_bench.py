@@ -69,12 +69,43 @@ def synthetic_clips(stream, with_event_time: bool = False):
     return stream.select(*cols)
 
 
+def synthetic_audio_clips(stream, n_blobs: int = 8, dur_s: float = 0.5):
+    """rate-source rows → REAL-PCM clips: n_blobs deterministic half-second
+    tone+noise blobs baked in as literals, assigned round-robin by row id.
+    Only n_blobs distinct recordings repeat forever, so every landmark hash
+    bucket is HOT — the first-k state cap is what the fingerprint lane
+    exercises (same worst-case doctrine as the minhash lane's 1000-id
+    text cycle)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from heliport_spark.functions.audio import encode_pcm_s16le
+
+    sr = 16000
+    blobs = []
+    for i in range(n_blobs):
+        rng = np.random.default_rng(100 + i)
+        t = np.arange(int(sr * dur_s)) / sr
+        w = (0.2 * np.sin(2 * np.pi * (300 + 40 * i) * t)
+             + 0.1 * rng.standard_normal(len(t)))
+        blobs.append(encode_pcm_s16le(w.astype(np.float32)))
+    arr = F.array(*[F.lit(bytearray(b)) for b in blobs])
+    return stream.select(
+        F.concat(F.lit("clip-"), F.col("value")).alias("clip_id"),
+        F.element_at(
+            arr, (F.col("value") % n_blobs + 1).cast("int")
+        ).alias("bytes"),
+        F.lit("pcm_s16le").alias("codec"),
+    )
+
+
 def run(rows_per_sec: int, seconds: int) -> None:
     from pyspark.sql import functions as F  # noqa: F401
 
     from heliport_spark.plans import get_spark
     from heliport_spark.streaming.stream import (
         streaming_exact_dedup,
+        streaming_fingerprint_links,
         streaming_minhash_verified,
         streaming_quality_filter,
     )
@@ -113,6 +144,17 @@ def run(rows_per_sec: int, seconds: int) -> None:
         # (worst-case boilerplate stream).
         ("minhash_verify",
          streaming_minhash_verified(clips_at(max(1, rows_per_sec // 10)))),
+        # per-row FFT + per-landmark state probes: feed 200×-lower rate
+        # (each clip explodes to dozens of landmark hashes and every hot
+        # bucket links against its k stored entries — deliberate worst case)
+        ("fingerprint_links", streaming_fingerprint_links(
+            synthetic_audio_clips(
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", str(max(1, rows_per_sec // 200)))
+                .option("numPartitions", "8").load()
+            ),
+            max_entries_per_hash=4,
+        )),
     ):
         q = df.writeStream.format("noop").outputMode("append").start()
         try:
@@ -121,7 +163,8 @@ def run(rows_per_sec: int, seconds: int) -> None:
             rows = sum(p["numInputRows"] for p in progress)
             secs = sum(p["batchDuration"] for p in progress) / 1000.0
             results[name] = (rows, rows / secs if secs else 0.0)
-            if name in ("dedup", "dedup_event_time", "minhash_verify") \
+            if name in ("dedup", "dedup_event_time", "minhash_verify",
+                        "fingerprint_links") \
                     and progress and progress[-1]["stateOperators"]:
                 results[f"{name}_state_rows"] = progress[-1][
                     "stateOperators"
