@@ -557,24 +557,28 @@ def ivfpq_ann_topk(
         sub_codes = (codes[:, None] >> (8 * np.arange(m))) & 0xFF  # (n, m)
         B = bc_books.value
         N2 = bc_subn2.value
-        out = np.empty(n, dtype=np.float64)
-        luts: dict = {}
+        ar_m = np.arange(m)
+        # reconstruction norms need no query: one gather over the batch
+        n2 = N2[ar_m[None, :], sub_codes].sum(1)
+        # candidate rows repeat the same few queries within a batch — group
+        # by vector BYTES and score each group with one fancy-indexed
+        # gather over that query's LUT (no per-row Python work beyond the
+        # grouping pass)
         ql = qv.tolist()
-        for i in range(n):
-            # candidate rows repeat the same few queries within a batch —
-            # key the LUT cache on the vector BYTES (row objects differ)
-            key = np.asarray(ql[i], dtype=np.float64).tobytes()
-            lut = luts.get(key)
-            if lut is None:
-                qu = _unit_np([ql[i]])[0]
-                lut = np.stack([
-                    B[j] @ qu[j * dsub:(j + 1) * dsub] for j in range(m)
-                ])  # (m, k_sub) of sub dot products
-                luts[key] = lut
-            cj = sub_codes[i]
-            dot = lut[np.arange(m), cj].sum()
-            n2 = N2[np.arange(m), cj].sum()
-            out[i] = dot / np.sqrt(n2) if n2 > 0 else 0.0
+        groups: "dict[bytes, list[int]]" = {}
+        for i, q in enumerate(ql):
+            groups.setdefault(
+                np.asarray(q, dtype=np.float64).tobytes(), []
+            ).append(i)
+        dot = np.empty(n, dtype=np.float64)
+        for idx in groups.values():
+            qu = _unit_np([ql[idx[0]]])[0]
+            lut = np.stack([
+                B[j] @ qu[j * dsub:(j + 1) * dsub] for j in range(m)
+            ])  # (m, k_sub) of sub dot products
+            ii = np.asarray(idx)
+            dot[ii] = lut[ar_m[None, :], sub_codes[ii]].sum(1)
+        out = np.divide(dot, np.sqrt(n2), out=np.zeros(n), where=n2 > 0)
         return pd.Series(out)
 
     codes = df.select(
