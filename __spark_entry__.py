@@ -850,13 +850,24 @@ def _curate_corpus_lid(spark, sf):
     Gopher → temperature resample (per predicted lang) → CCNet buckets in
     mode="cutoff" (sketch cutoffs, no per-language sort — en-skew immune).
 
-    Rows-only (the HeLI scorer is not ANSI-SQL-expressible); the chain's
-    stage counts and its agreement with the oracle-exact ntile/exact-decon
-    twin are pinned in tests/test_queries.py::test_curate_corpus_lid_*."""
-    from heliport_spark.operators.curate import curate_documents
+    The fixture documents are English-like word salad throughout (the LID
+    correctly says eng for all of them), so the table is supplemented with
+    a deterministic per-language corpus built from the reference's own
+    published word models (sources/multilingual.py) — the predicted
+    languages then genuinely drive the per-language resample and buckets.
 
+    Rows-only (the HeLI scorer is not ANSI-SQL-expressible); stage counts,
+    exact≡bloom decon agreement, and multilingual LID-gate recovery are
+    pinned in tests/test_curate.py."""
+    from heliport_spark.operators.curate import curate_documents
+    from heliport_spark.sources.multilingual import multilingual_documents
+
+    d = _docs_repart(spark, sf)
+    extra = multilingual_documents(spark)
+    if extra is not None:
+        d = d.unionByName(extra)
     return curate_documents(
-        _docs_repart(spark, sf),
+        d,
         lid=True,
         decon="bloom", decon_mod=DECON_MOD, decon_n=DECON_N,
         bloom_m_bits=BLOOM_M_BITS, bloom_k=BLOOM_K,

@@ -157,3 +157,23 @@ def test_curate_lid_multilingual(spark):
     # which is itself the source gate doing its job on this fixture)
     assert len(out) > 0
     assert {r["lang"] for r in out} <= set(langs)
+
+
+def test_curate_corpus_lid_driver_entry_multilingual(spark):
+    """The REGISTERED curate_corpus_lid entry (base documents + the
+    reference-word-model multilingual supplement) must surface every
+    supplemented language in its final corpus, each labeled by the LID's
+    PREDICTION — i.e. the per-language resample/bucket stages genuinely
+    run multi-group in the driver query, not just in the synthetic test
+    above. Temperature resampling flattens the eng skew by design."""
+    import __spark_entry__ as e
+    from heliport_spark.sources.multilingual import MULTILINGUAL_LANGS
+
+    out = e._curate_corpus_lid(spark, SF_SMALL).collect()
+    per_lang = {}
+    for r in out:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+    assert set(MULTILINGUAL_LANGS) <= set(per_lang)
+    assert "eng" in per_lang
+    # alpha=0.5 flattening: no language may dominate the resampled corpus
+    assert max(per_lang.values()) < 0.5 * sum(per_lang.values())
