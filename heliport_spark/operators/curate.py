@@ -39,6 +39,18 @@ from pyspark.sql import functions as F
 LID_DROP_LANGS = ("und", "zxx")
 
 
+def release_stages(stages: "dict[str, DataFrame]") -> None:
+    """Unpersist every cached frame a ``curate_documents(stages=...)`` call
+    exposed — the release hook for sessions that run many chains (each
+    invocation pins 3-4 MEMORY_AND_DISK tables until eviction otherwise).
+    Safe on non-persisted frames (unpersist is a no-op there)."""
+    for df in stages.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # best-effort: releasing cache must never fail the caller
+
+
 def curate_documents(
     df: DataFrame,
     *,
@@ -89,7 +101,12 @@ def curate_documents(
 
     ``stages``: pass a dict to receive the intermediate DataFrames keyed by
     stage name (source_gate, lid_gate, exact, neardup, corpus, decon,
-    gopher, resampled) — the composition test pins their counts.
+    gopher, resampled) — the composition test pins their counts, and the
+    PERSISTED frames (lid_gate, neardup, gopher, resampled) are exposed
+    through it so a long-lived session can release their storage with
+    :func:`release_stages` once the chain's outputs are consumed (the
+    frames otherwise stay cached until Spark's LRU evicts them — bounded,
+    MEMORY_AND_DISK, but per-invocation).
     """
     from ..functions import text as T
     from .corpus import (

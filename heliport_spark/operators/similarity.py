@@ -596,19 +596,30 @@ def ivfpq_ann_topk(
     cand = codes.join(probes, "centroid").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = cand.withColumn("adc", adc(F.col("qvec"), F.col("code")))
+    # qvec is consumed by the ADC UDF INSIDE the join stage (the probes
+    # side of the centroid join is the small one, so the full query vector
+    # never rides the corpus-wide exchange) and dropped BEFORE the rank
+    # window: the only thing the top-rerank shuffle moves is
+    # (query_id, neighbor_id, adc) ≈ 24 B/candidate — keeping the
+    # 12 B/corpus-row claim honest end-to-end (code-review r6 finding)
+    scored = cand.withColumn(
+        "adc", adc(F.col("qvec"), F.col("code"))
+    ).select("query_id", "neighbor_id", "adc")
     wa = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")
     )
     short = (
         scored.withColumn("rk", F.row_number().over(wa))
         .filter(F.col("rk") <= rerank)
-        .select("query_id", "qvec", "neighbor_id")
+        .select("query_id", "neighbor_id")
     )
-    # exact re-rank: fetch full vectors for the shortlist only
+    # exact re-rank: fetch full vectors (corpus AND query side) for the
+    # ≤rerank-per-query shortlist only
     full = df.select(F.col(id_col).alias("neighbor_id"),
                      F.col(vec_col).alias("cvec"))
-    rer = short.join(full, "neighbor_id").withColumn(
+    qtab = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("qvec"))
+    rer = short.join(full, "neighbor_id").join(qtab, "query_id").withColumn(
         "sim", F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 4)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

@@ -809,13 +809,19 @@ def streaming_fingerprint_links(
     Scale notes: per-hash state is BOUNDED (a hot hash — a shared
     mains-hum landmark — stores its first k entries and links linearly
     beyond them; the batch operator is the exhaustive path);
-    ``ttl_ms`` bounds state lifetime exactly like streaming_exact_dedup,
-    and ``event_time_col`` + ``watermark_delay`` switch to EVENT-time
-    semantics — late rows are never linked, stored, or horizon-advancing;
-    a hash's state expires ttl_ms past its last on-time event. The event
-    column rides through the fingerprint extraction via ``carry_cols`` and
-    the watermark is RE-declared on the carried column (a mapInPandas
-    output is a fresh attribute set and cannot inherit the annotation)."""
+    ``ttl_ms`` bounds state lifetime like streaming_exact_dedup, and
+    ``event_time_col`` + ``watermark_delay`` switch to EVENT-time
+    semantics — late rows are never linked, stored, or horizon-advancing.
+    State is WRITTEN only when it changes (an entry appended, or the
+    event-time horizon advanced) — a hot FULL bucket must not re-serialize
+    its entry arrays to the state store every trigger (the dedup op's
+    documented write contract); consequence: the TTL runs from the last
+    state-MODIFYING event, so a full bucket expires ttl_ms after its k-th
+    entry landed (or after its horizon last advanced in event mode), not
+    after its last probe. The event column rides through the fingerprint
+    extraction via ``carry_cols`` and the watermark is RE-declared on the
+    carried column (a mapInPandas output is a fresh attribute set and
+    cannot inherit the annotation)."""
     from pyspark.sql.streaming.state import GroupState
     from pyspark.sql.types import (
         ArrayType,
@@ -855,6 +861,7 @@ def streaming_fingerprint_links(
             prev_max = int(state.get[2]) if event_mode else -1
         else:
             ids, t1s, prev_max = [], [], -1
+        appended = False
         out_a: "list[str]" = []
         out_b: "list[str]" = []
         out_dt: "list[int]" = []
@@ -887,14 +894,21 @@ def streaming_fingerprint_links(
                 if len(ids) < max_entries_per_hash:
                     ids.append(new_id)
                     t1s.append(new_t1)
+                    appended = True
+        # write state ONLY when it changed (streaming_exact_dedup's
+        # documented contract: a hot full bucket must not force a
+        # state-store re-serialization of its entry arrays every trigger).
+        # Consequence, documented: TTL runs from the last state-MODIFYING
+        # event, not the last sight of the key.
         if event_mode:
             if max_evt >= 0:  # only on-time activity refreshes the horizon
                 run_max = max(prev_max, max_evt)
-                state.update((ids, t1s, run_max))
-                state.setTimeoutTimestamp(max(run_max + ttl_ms, wm + 1))
+                if appended or run_max > prev_max or not state.exists:
+                    state.update((ids, t1s, run_max))
+                    state.setTimeoutTimestamp(max(run_max + ttl_ms, wm + 1))
             elif not state.exists:
                 return  # all-late batch must not seed state
-        else:
+        elif appended or not state.exists:
             state.update((ids, t1s, 0))
             if ttl_ms is not None:
                 state.setTimeoutDuration(ttl_ms)

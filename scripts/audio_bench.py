@@ -23,7 +23,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-FIXTURE = f"/tmp/heliport_audio_bench_clips_{os.path.basename(SF_DIR.rstrip('/'))}"
+
+
+def _recipe_key() -> str:
+    """Fingerprint of the synthesis recipe: the clips source module bytes +
+    the synthesis params. A cached /tmp fixture from an older recipe must
+    never be silently re-benchmarked after the generator changes
+    (code-review r6 finding)."""
+    import hashlib
+
+    import heliport_spark.sources.clips as clips_mod
+
+    h = hashlib.md5()
+    with open(clips_mod.__file__, "rb") as fh:
+        h.update(fh.read())
+    h.update(b"max_pcm_ms=500;adversarial=1")
+    return h.hexdigest()[:10]
+
+
+FIXTURE = (
+    f"/tmp/heliport_audio_bench_clips_"
+    f"{os.path.basename(SF_DIR.rstrip('/'))}_{_recipe_key()}"
+)
 
 
 def ensure_fixture(spark) -> "tuple[str, float]":

@@ -97,39 +97,33 @@ def test_curate_lid_multilingual(spark):
     und (below-confidence noise) and zxx (empty/punctuation) rows are
     dropped by the gate."""
     from heliport_spark.operators.curate import curate_documents
+    from heliport_spark.sources.multilingual import multilingual_documents
 
-    rng = np.random.default_rng(11)
-    rows = []
-    did = 0
-    # three well-separated languages with real frequent words from the
-    # committed model vocabulary (same trick as test_multilingual)
-    from pathlib import Path
-
-    src = Path("/root/reference/LanguageModels")
-    langs = [x for x in ("eng", "spa", "fin") if (src / f"{x}.word.model").exists()]
-    if len(langs) < 3:
+    # three well-separated languages synthesized by the SHARED helper (one
+    # generation recipe — the driver's curate_corpus_lid supplement and
+    # this test must never drift apart); includes the ' the' Gopher salt,
+    # see multilingual_documents' docstring
+    langs = ("eng", "spa", "fin")
+    base = multilingual_documents(spark, langs=langs, per_lang=40)
+    if base is None:
         pytest.skip("reference word models unavailable")
-    for lang in langs:
-        with open(src / f"{lang}.word.model", encoding="utf-8") as fh:
-            fh.readline()
-            words = [line.split("\t")[0] for _, line in zip(range(200), fh)]
-        for _ in range(40):
-            n = int(rng.integers(25, 60))
-            # one salted English stopword: the Gopher stopword rule (like
-            # the published one) is English-centric and would otherwise
-            # drop the non-English SOURCES wholesale at stage 0a, before
-            # LID ever runs; one 'the' in 25-60 foreign words cannot flip
-            # the character-n-gram scorer
-            text = " ".join(rng.choice(words, size=n)) + " the"
-            rows.append((did, lang, f"src-{lang}", text))
-            did += 1
+    planted_rows = base.select("doc_id", "lang").collect()
+    if len(planted_rows) < 120:
+        pytest.skip("reference word models incomplete")
     # zxx bait: punctuation-only text; und bait: the golden corpus's
     # below-confidence sentence (identifier.rs:398 → expected und). Both
     # ride INSIDE reputable sources (40/41 keep rate ≥ 9/10) so they reach
     # the LID gate and the DROP decision is provably the LID's.
-    rows.append((did, "xx", "src-eng", "!!! ??? ... 123 456 789 000 111"))
-    rows.append((did + 1, "xx", "src-spa", "મજાક તરીકે @K."))
-    df = spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"])
+    did = max(r["doc_id"] for r in planted_rows) + 1
+    baits = spark.createDataFrame(
+        [
+            (did, "!!! ??? ... 123 456 789 000 111", "xx", "web-eng", 31),
+            (did + 1, "મજાક તરીકે @K.", "xx", "web-spa", 14),
+        ],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    df = base.unionByName(baits)
 
     st = {}
     out = curate_documents(
@@ -145,10 +139,10 @@ def test_curate_lid_multilingual(spark):
     # test_multilingual)
     planted = {lang: 0 for lang in langs}
     hits = {lang: 0 for lang in langs}
-    for rid, lang, _, _ in rows[:-2]:
-        planted[lang] += 1
-        if lid_langs.get(rid) == lang:
-            hits[lang] += 1
+    for r in planted_rows:
+        planted[r["lang"]] += 1
+        if lid_langs.get(r["doc_id"]) == r["lang"]:
+            hits[r["lang"]] += 1
     for lang in langs:
         assert hits[lang] / planted[lang] >= 0.9, (lang, hits, planted)
     # the final corpus exists and is labeled by PREDICTED language only
@@ -167,8 +161,14 @@ def test_curate_corpus_lid_driver_entry_multilingual(spark):
     run multi-group in the driver query, not just in the synthetic test
     above. Temperature resampling flattens the eng skew by design."""
     import __spark_entry__ as e
-    from heliport_spark.sources.multilingual import MULTILINGUAL_LANGS
+    from heliport_spark.sources.multilingual import (
+        MULTILINGUAL_LANGS,
+        multilingual_documents,
+    )
 
+    if multilingual_documents(spark) is None:
+        pytest.skip("reference word models unavailable (the driver entry "
+                    "degrades to the base documents table there)")
     out = e._curate_corpus_lid(spark, SF_SMALL).collect()
     per_lang = {}
     for r in out:
