@@ -494,9 +494,17 @@ def ivfpq_ann_topk(
 
     Rows-only in the driver contract (recall < 1 by construction, like
     ann_lsh/ann_ivf); the recall floor vs brute force is pinned in tests at
-    ≥ the IVF-flat floor while shuffling 32× fewer candidate bytes."""
+    ≥ the IVF-flat floor while shuffling 32× fewer candidate bytes.
+
+    NULL embeddings are dropped from both sides up front (np.asarray on a
+    ragged object column would crash the Arrow kernels; a NULL vector can
+    be neither searched nor matched — the same contract the k-means fit
+    path needs, and consistent with brute force where a NULL side yields
+    NULL cosine that ranks last)."""
     from pyspark.sql.types import DoubleType
 
+    df = df.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     if model is None:
         model = fit_ivfpq(df, vec_col, n_centroids, m, k_sub, seed,
                           fit_sample_max)

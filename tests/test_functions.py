@@ -1935,3 +1935,35 @@ def test_audio_fingerprint_matches_incremental(spark):
     got2 = audio_fingerprint_matches_incremental(
         fp_new, fp_ref2, max_bucket=2).collect()
     assert ("b", "a") in {(r.id_a, r.id_b) for r in got2}
+
+
+def test_ann_ivfpq_null_embeddings_dropped(spark):
+    """NULL embedding rows must not crash the IVF-PQ Arrow kernels and must
+    not change the results for the non-NULL corpus (they are dropped up
+    front — a NULL vector can be neither searched nor matched)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from heliport_spark.operators.similarity import ivfpq_ann_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    base = sorted(map(tuple, ivfpq_ann_topk(e, q, k=3, n_probe=4).collect()))
+    nulls = spark.createDataFrame(
+        [(10_000_001, None), (10_000_002, None)],
+        StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]),
+    )
+    e2 = e.select("vec_id", "embedding").unionByName(nulls)
+    q2 = e2.filter((F.col("vec_id") < 10) | (F.col("vec_id") > 10_000_000))
+    with_nulls = sorted(map(tuple, ivfpq_ann_topk(e2, q2, k=3,
+                                                  n_probe=4).collect()))
+    assert with_nulls == base
