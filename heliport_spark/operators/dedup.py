@@ -865,24 +865,123 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def _star_components(edges: DataFrame, _cut, max_iters: int) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014
+    §3) over a SYMMETRIC, distinct, self-loop-free edge list — the
+    edge-contracting twin of min-label propagation, shared return shape
+    (id, cluster_id, is_canonical).
+
+    Per round (both halves keep every edge pointing big → small):
+
+    * LARGE-star: for every node u with neighbourhood Γ(u), attach each
+      strictly-larger neighbour v to m = min(Γ(u) ∪ {u}): emit (v, m).
+      Long tails re-root onto local minima in parallel.
+    * SMALL-star: group the resulting pointer edges by their LARGER
+      endpoint v; with m* = min of v's (all-smaller) parents, re-attach
+      each parent p to m* and v itself to m*: emit (p, m*) ∪ {(v, m*)}.
+      Multi-parent nodes collapse their parent set onto one root.
+
+    Fixpoint: the directed edge set stops changing — then it is a forest
+    of depth-1 stars rooted at each component's MINIMUM node (the paper's
+    invariant), reached in O(log² n) rounds regardless of diameter. The
+    convergence check is a subtract+count over the (shrinking,
+    checkpointed) edge set. Raises on non-convergence like the label
+    mode — partial pointers are silently wrong cluster ids."""
+    # directed big → small pointer edges; the symmetric input already has
+    # both orientations, so keeping dst < src loses nothing
+    E = _cut(edges.filter(F.col("dst") < F.col("src")))
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    converged = False
+    for _ in range(max_iters):
+        sym = E.unionByName(
+            E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mn = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+        m = F.least(F.col("src"), F.col("_mn"))
+        large = (
+            sym.join(mn, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        mn2 = large.groupBy("src").agg(F.min("dst").alias("_mn"))
+        small = (
+            large.join(mn2, "src")
+            .select(F.col("dst").alias("src"), F.col("_mn").alias("dst"))
+            .unionByName(
+                mn2.select("src", F.col("_mn").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        new_E = _cut(small)
+        changed = (
+            new_E.exceptAll(E).limit(1).count()
+            + E.exceptAll(new_E).limit(1).count()
+        )
+        try:
+            E._jdf.queryExecution().toRdd().unpersist(False)
+        except Exception:
+            pass
+        E = new_E
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"star components did not converge in {max_iters} rounds"
+        )
+    # stars: every non-root appears as src with its root as dst (min over
+    # parents is a no-op at fixpoint but keeps the read side defensive);
+    # roots never appear as src and label themselves
+    child = E.groupBy("src").agg(F.min("dst").alias("lab")).select(
+        F.col("src").alias("id"), "lab"
+    )
+    return (
+        nodes.join(child, "id", "left")
+        .withColumn("lab", F.coalesce(F.col("lab"), F.col("id")))
+        .select(
+            "id",
+            F.col("lab").alias("cluster_id"),
+            (F.col("id") == F.col("lab")).cast("int").alias("is_canonical"),
+        )
+    )
+
+
 def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                  max_iters: int = 50,
-                 checkpoint_dir: "str | None" = None) -> DataFrame:
+                 checkpoint_dir: "str | None" = None,
+                 algorithm: str = "label") -> DataFrame:
     """Connected components over near-duplicate PAIRS → one row per node:
     (id, cluster_id = min id in its component, is_canonical ∈ {0,1}).
     The missing last step of every dedup path: candidate pairs (MinHash /
     SimHash / Jaccard verify) become clusters, and dedup keeps exactly the
     canonical row per cluster.
 
-    Iterative min-label propagation: each round every node takes the min
-    label among itself and its neighbours, so labels spread one hop per
-    round and the loop converges in ≤ diameter rounds (near-dup components
-    are short chains in practice). Each round is one equi-join + one
-    map-side-combinable min aggregate — fully distributed; the driver only
-    orchestrates and checks a scalar convergence count. ``localCheckpoint``
-    cuts lineage growth per round. (At extreme diameters, large-star/
-    small-star [Kiveris et al. 2014] gives O(log n) rounds with the same
-    per-round shape — not needed for near-dup graphs.)
+    ``algorithm="label"`` (default, the oracle-checked path): iterative
+    min-label propagation — each round every node takes the min label among
+    itself and its neighbours, so labels spread one hop per round and the
+    loop converges in ≤ diameter rounds (near-dup components are short
+    chains in practice), with pointer jumping engaging after 3 rounds
+    (O(log diameter) on deep components). Each round is one equi-join over
+    the FULL edge list + one map-side-combinable min aggregate; the
+    convergence check is a filter-count over the freshly checkpointed
+    label table.
+
+    ``algorithm="star"``: alternating large-star/small-star (Kiveris et
+    al. 2014 §3) — each round rewires strictly-larger neighbours (then
+    smaller neighbours) onto the neighbourhood minimum, so the edge set
+    itself CONTRACTS toward rooted stars: O(log² n) rounds regardless of
+    component shape, and — unlike label propagation — the per-round join
+    input SHRINKS as components collapse (the 100 TB argument: a
+    pathological web-mirror component with millions of near-identical
+    pages costs label propagation the full edge list every round; star
+    rounds collapse it geometrically). Output is IDENTICAL (component min
+    as the label — equality with the default mode is pinned in tests);
+    rows-only at the driver because the default mode carries the oracle.
+
+    ``localCheckpoint`` cuts lineage growth per round in both modes.
 
     Fault tolerance (VERDICT r03 #3): the default per-round lineage cut is
     ``localCheckpoint`` — truncated lineage into NON-RELIABLE executor-local
@@ -945,8 +1044,12 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # materialize the edge list ONCE: every propagation round joins it, and
     # without the cut each round would re-run the whole upstream candidate
     # generation (LSH banding etc.) through the lazy lineage
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     try:
         edges = _cut(edges)
+        if algorithm == "star":
+            return _star_components(edges, _cut, max_iters)
         labels = _cut(
             edges.select(F.col("src").alias("id"))
             .distinct()

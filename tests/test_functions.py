@@ -706,6 +706,52 @@ def test_dup_clusters_components(spark):
     assert len(deep) == 200 and all(v == 0 for v in deep.values())
 
 
+def test_dup_clusters_star_equals_label(spark):
+    """algorithm="star" (large-star/small-star, the edge-contracting
+    O(log² n) mode) must return EXACTLY the default label-propagation
+    mode's output: on chains/cycles/pairs, on a 200-node path (deep
+    component — star must converge in far fewer than 199 rounds), and on
+    the real sf0.01 simhash pair graph. Bad algorithms fail loudly:
+    max_iters exhaustion raises in both modes."""
+    from pyspark.sql import functions as F
+
+    from heliport_spark.operators.dedup import dup_clusters, simhash_pairs
+
+    def as_map(df):
+        return {r["id"]: (r["cluster_id"], r["is_canonical"])
+                for r in df.collect()}
+
+    shapes = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11),
+         (20, 21), (21, 22), (22, 20),
+         (30, 33), (31, 33), (32, 33)],          # star already (big hub)
+        "id_a bigint, id_b bigint",
+    )
+    assert as_map(dup_clusters(shapes, algorithm="star")) == as_map(
+        dup_clusters(shapes)
+    )
+    # deep path: the star alternation contracts geometrically — cap the
+    # round budget far below the 199 plain label rounds the path needs
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a bigint, id_b bigint"
+    )
+    star_deep = as_map(dup_clusters(chain, algorithm="star", max_iters=12))
+    assert star_deep == as_map(dup_clusters(chain))
+    # real near-dup graph (string ids exercise non-numeric ordering)
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    p = simhash_pairs(d).select(
+        F.col("id_a").cast("string").alias("id_a"),
+        F.col("id_b").cast("string").alias("id_b"),
+    )
+    assert as_map(dup_clusters(p, algorithm="star")) == as_map(
+        dup_clusters(p)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, algorithm="star", max_iters=1)
+
+
 def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir= switches the per-round lineage cut from
     localCheckpoint (non-reliable executor-local blocks) to df.checkpoint()
