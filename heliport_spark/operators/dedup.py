@@ -997,6 +997,13 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     them with spark.cleaner.referenceTracking.cleanCheckpoints=true).
 
     Oracle-portable: min-reachable-label is a recursive CTE in DuckDB."""
+    # validate BEFORE any global-state mutation: the setCheckpointDir call
+    # below mutates SparkContext state that is only restored by the
+    # try/finally around the propagation loop — raising between the two
+    # would leave the caller's checkpoint dir permanently redirected
+    # (ADVICE r6 #1)
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     prev_ckpt_dir = None
     if checkpoint_dir is not None:
         sc = pairs.sparkSession.sparkContext
@@ -1044,8 +1051,6 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # materialize the edge list ONCE: every propagation round joins it, and
     # without the cut each round would re-run the whole upstream candidate
     # generation (LSH banding etc.) through the lazy lineage
-    if algorithm not in ("label", "star"):
-        raise ValueError(f"unknown algorithm {algorithm!r}")
     try:
         edges = _cut(edges)
         if algorithm == "star":

@@ -791,6 +791,26 @@ def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
     assert written, "reliable checkpoint dir received no files"
 
 
+def test_dup_clusters_bad_algorithm_no_ckpt_mutation(spark, tmp_path):
+    """ADVICE r6 #1: an invalid algorithm name must raise BEFORE the
+    checkpoint-dir mutation — dup_clusters(..., algorithm='typo') used to
+    permanently redirect the app's global checkpoint dir (the validation
+    sat between setCheckpointDir and the try/finally that restores it)."""
+    import pytest as _pytest
+
+    from heliport_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    caller_dir = str(tmp_path / "caller_ckpt")
+    spark.sparkContext.setCheckpointDir(caller_dir)
+    before = spark.sparkContext._jsc.sc().getCheckpointDir().get()
+    with _pytest.raises(ValueError, match="unknown algorithm"):
+        dup_clusters(pairs, checkpoint_dir=str(tmp_path / "bad"),
+                     algorithm="typo")
+    after = spark.sparkContext._jsc.sc().getCheckpointDir().get()
+    assert after == before  # untouched, not even a fresh UUID under caller
+
+
 def test_ngram_repetition_per_doc(spark):
     """Within-doc duplicated n-gram fraction: known hand counts, gram-less
     docs (short/empty) emit 0.0 rows, partitioning-invariant."""

@@ -81,3 +81,42 @@ def test_confidence_reduces_to_und_not_wrong(corpus):
     kept = [(str(p), l) for p, l in zip(pred_on, labels) if p != "und"]
     acc_on = sum(1 for p, l in kept if collapse(p) == collapse(l)) / len(kept)
     assert acc_on >= 0.93, f"non-und accuracy {acc_on:.3f}"
+
+
+def test_multilingual_documents_model_root_warns(spark, tmp_path):
+    """ADVICE r6 #3: a missing/partial word-model root must WARN naming the
+    skipped languages (row counts of the supplemented corpus are otherwise
+    an undiagnosable environment function), and the root must be
+    configurable via argument and $HELIPORT_SPARK_WORD_MODELS."""
+    import os
+    import warnings as _warnings
+
+    from heliport_spark.sources.multilingual import (
+        MODEL_SRC_ENV,
+        multilingual_documents,
+    )
+
+    empty = tmp_path / "no_models"
+    empty.mkdir()
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        out = multilingual_documents(
+            spark, langs=("spa", "fin"), model_root=str(empty)
+        )
+    assert out is None
+    msgs = [str(w.message) for w in rec]
+    assert any("spa" in m and "fin" in m and str(empty) in m for m in msgs)
+
+    # env-var route points at the same empty dir → same skip-with-warning
+    old = os.environ.get(MODEL_SRC_ENV)
+    os.environ[MODEL_SRC_ENV] = str(empty)
+    try:
+        with _warnings.catch_warnings(record=True) as rec2:
+            _warnings.simplefilter("always")
+            assert multilingual_documents(spark, langs=("spa",)) is None
+        assert any("spa" in str(w.message) for w in rec2)
+    finally:
+        if old is None:
+            del os.environ[MODEL_SRC_ENV]
+        else:
+            os.environ[MODEL_SRC_ENV] = old
