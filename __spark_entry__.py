@@ -792,7 +792,7 @@ def _token_budget_sample(spark, sf):
     )
 
 
-def _curate_corpus(spark, sf):
+def _curate_corpus(spark, sf, eager=True):
     """END-TO-END corpus curation — the full path a training-data team runs,
     composed from the already-oracle-exact stages and their SHARED constants:
     (0a) SOURCE-reputation gate first (RefinedWeb order: drop whole junk
@@ -833,11 +833,11 @@ def _curate_corpus(spark, sf):
     return curate_documents(
         _docs_repart(spark, sf),
         decon="exact", decon_mod=DECON_MOD, decon_n=DECON_N,
-        bucket_mode="ntile",
+        bucket_mode="ntile", eager=eager,
     )
 
 
-def _curate_corpus_lid(spark, sf):
+def _curate_corpus_lid(spark, sf, eager=True):
     """The 100 TB personality of the curation chain — what a RefinedWeb-
     style run over a real crawl looks like, with the engine's FLAGSHIP
     operator (the HeLI language identifier, /root/reference/src/
@@ -871,7 +871,7 @@ def _curate_corpus_lid(spark, sf):
         lid=True,
         decon="bloom", decon_mod=DECON_MOD, decon_n=DECON_N,
         bloom_m_bits=BLOOM_M_BITS, bloom_k=BLOOM_K,
-        bucket_mode="cutoff",
+        bucket_mode="cutoff", eager=eager,
     )
 
 

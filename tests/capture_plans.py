@@ -149,6 +149,14 @@ def main():
             ]
         return "\n".join(lines)
 
+    # the curate entries run EAGERLY by default (persist-lifecycle fix) and
+    # would capture as a localCheckpoint scan; rebuild them lazily so the
+    # artifact keeps the real chain plan
+    qs["curate_corpus"] = lambda s, d: e._curate_corpus(s, d, eager=False)
+    qs["curate_corpus_lid"] = (
+        lambda s, d: e._curate_corpus_lid(s, d, eager=False)
+    )
+
     parts = [HEADER]
     for name, why in SECTIONS:
         parts.append(f"## {name}\n\n*{why}*\n\n```\n{fmt(qs[name](spark, sf))}\n```\n")
