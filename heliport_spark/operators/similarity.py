@@ -296,8 +296,12 @@ def fit_ivf_quantizer(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = df.select(array_to_vector(_unit_expr(F.col(vec_col))).alias("features"))
-    fit_df = _ivf_fit_sample(feats, df.count(), fit_sample_max, seed)
+    rows = df.select(_unit_expr(F.col(vec_col)).alias("u"))
+    samp = _ivf_fit_sample(rows, fit_sample_max, seed)
+    # the TakeOrdered merge lands the ≤fit_sample_max sample on one
+    # partition; spread it so the 20 k-means iterations run parallel
+    fit_df = samp.select(array_to_vector(F.col("u")).alias("features"))
+    fit_df = fit_df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return KMeans(k=n_centroids, seed=seed, maxIter=20).fit(fit_df)
 
 
@@ -318,10 +322,10 @@ def ivf_ann_topk(
     inverted lists; each query probes its ``n_probe`` nearest centroids and
     ranks exact cosine only within those lists.
 
-    Scale shape: centroid training fits on a BOUNDED Bernoulli sample
-    (≤ ``fit_sample_max`` rows — the corpus row count comes from one
-    metadata-cheap count, the 20 k-means iterations then scan only the
-    sample); list assignment is a pure projection; candidate generation is
+    Scale shape: centroid training fits on a BOUNDED uniform sample
+    (≤ ``fit_sample_max`` rows, bottom-k by per-row hash — ONE scan, no
+    count pre-pass; the 20 k-means iterations then scan only the sample);
+    list assignment is a pure projection; candidate generation is
     an equi-join on ``centroid`` — shuffle-partitionable by list, never a
     crossJoin, and never a forced query-side broadcast (AQE decides from
     runtime sizes). Recall < 1 by construction (rows-only in the driver
@@ -332,7 +336,6 @@ def ivf_ann_topk(
     scale the quantizer is fit ONCE (or offline) and reused across every
     query batch; pass it here to skip the fit (and the corpus count) on
     repeat calls. Fit one with ``fit_ivf_quantizer``."""
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feats = df.select(
@@ -343,11 +346,10 @@ def ivf_ann_topk(
     if quantizer is not None:
         model = quantizer
     else:
-        km = KMeans(k=n_centroids, seed=seed, maxIter=20)
-        fit_df = _ivf_fit_sample(
-            feats.select("features"), df.count(), fit_sample_max, seed
-        )
-        model = km.fit(fit_df)
+        # the internal fit IS fit_ivf_quantizer (one function, one sampling
+        # strategy — the prefit path is identical by construction)
+        model = fit_ivf_quantizer(df, vec_col, n_centroids, seed,
+                                  fit_sample_max)
     corpus = model.transform(feats).select(
         "neighbor_id", "cvec", F.col("prediction").alias("centroid")
     )
@@ -439,7 +441,7 @@ def fit_ivfpq(
 ):
     """Fit the IVF-PQ model ONCE: coarse centroids (n_centroids × dim) and
     per-subspace PQ codebooks (m × k_sub × dim/m), both trained on the same
-    bounded Bernoulli sample as the IVF-flat quantizer (one driver-side
+    bounded one-scan bottom-k sample as the IVF-flat quantizer (one driver-side
     numpy fit — the 100 TB pattern is fit-offline/encode-everywhere, the
     same as fit_ivf_quantizer). Codebooks quantize the UNIT-normalized
     vectors directly (no residual): on the unit sphere the final metric is
@@ -448,7 +450,7 @@ def fit_ivfpq(
     a true approximate cosine from lookup tables alone. Returns
     (coarse, codebooks) as numpy arrays ready to broadcast."""
     rows = df.select(_unit_expr(F.col(vec_col)).alias("u"))
-    samp = _ivf_fit_sample(rows, df.count(), fit_sample_max, seed).collect()
+    samp = _ivf_fit_sample(rows, fit_sample_max, seed).collect()
     S = np.asarray([r["u"] for r in samp], dtype=np.float64)
     dim = S.shape[1]
     if dim % m:
