@@ -259,7 +259,8 @@ def curate_clips(
     bloom_m_bits: int = 1 << 20,
     bloom_k: int = 4,
     audio_neardup: bool = False,
-    audio_threshold: float = 0.98,
+    audio_threshold: float = 0.995,
+    n_mels: int = 32,
     total: "int | None" = None,
     stages: "dict[str, DataFrame] | None" = None,
     eager: bool = True,
@@ -319,6 +320,14 @@ def curate_clips(
     def _persist(frame: DataFrame) -> DataFrame:
         frame = frame.persist()
         _persisted.append(frame)
+        if eager:
+            # fill the cache NOW: the next stage references this frame from
+            # TWO subtrees of one job (e.g. kept ⋈ exact_dedup(kept)), and
+            # computing both concurrently against a cold cache re-runs the
+            # expensive upstream (decode+mel+langid) once per subtree —
+            # measured 107 s → ~65 s at sf0.01. At 100 TB this count IS the
+            # parquet materialization between macro-stages.
+            frame.count()
         return frame
 
     # 1: the flagship gate — langid + ppl + rules + scrub, one Arrow pass
@@ -331,8 +340,31 @@ def curate_clips(
         from ..functions.audio import audio_embedding_df
 
         # acoustic embedding for SURVIVORS only, inside the same pipeline
-        # (decode is mapInPandas; dropped rows never reach it)
-        kept0 = audio_embedding_df(kept0)
+        # (decode is mapInPandas; dropped rows never reach it); n_mels=32
+        # (not the operator default 16): a corpus-wide near-dup gate needs
+        # enough spectral resolution that merely-similar spectra do not
+        # chain into giant clusters — measured at sf0.01 the 16-mel gate
+        # transitively collapsed 51% of the corpus, 32 mels keep false
+        # pairs from percolating while planted dups stay at cosine ≥0.999
+        kept0 = audio_embedding_df(kept0, n_mels=n_mels)
+        # mean-center each log-mel vector (the cepstral-mean-normalization
+        # idea): raw log-mel rides on a shared noise-floor baseline, so the
+        # cosine between ANY two clips is ≈1 and the near-dup graph
+        # percolates — centering removes the shared DC component so cosine
+        # measures spectral SHAPE. Pure Catalyst (aggregate + transform).
+        mean_e = F.aggregate(
+            F.col("aemb"), F.lit(0.0), lambda a, x: a + x.cast("double")
+        ) / F.size(F.col("aemb"))
+        kept0 = kept0.withColumn(
+            "aemb",
+            F.when(
+                F.col("aemb").isNotNull(),
+                F.transform(
+                    F.col("aemb"),
+                    lambda x: (x.cast("double") - mean_e).cast("float"),
+                ),
+            ),
+        )
         cols.append("aemb")
     # several downstream branches re-read the gate's survivors; persist the
     # text(+embedding) projection — bytes are gone from here on
@@ -376,6 +408,7 @@ def curate_clips(
         apairs = embedding_neardup(
             clean.filter(F.col("aemb").isNotNull()),
             threshold=audio_threshold, id_col=id_col, vec_col="aemb",
+            dim=n_mels,
         )
         alosers = (
             dup_clusters(apairs)

@@ -85,10 +85,43 @@ def synth_pcm(row_id: int, sr_hz: int = 16000, dur_ms: "int | None" = None) -> b
     return encode_pcm_s16le(wave.astype(np.float32))
 
 
+def synth_pcm_varied(row_id: int, sr_hz: int = 16000,
+                     dur_ms: "int | None" = None) -> bytes:
+    """Deterministic PCM with a PER-ID spectral identity (fundamental + two
+    harmonics + phase drawn from the id), so distinct clips are acoustically
+    DISTINCT — the single-tone corpus of :func:`synth_pcm` is the degenerate
+    case for acoustic embeddings/fingerprints (every clip lands at cosine≈1).
+    Ids with ``row_id % 29 == 1`` reuse the PREVIOUS id's spectrum with
+    fresh noise: planted audio near-duplicates whose transcripts differ —
+    exactly what an audio-near-dup stage must catch (same recording
+    re-uploaded under a new id with a re-run transcription)."""
+    from ..functions.audio import encode_pcm_s16le
+
+    base_id = row_id - 1 if row_id % 29 == 1 else row_id
+    rng_w = np.random.default_rng(1_000 + (base_id % (2**31)))  # spectrum
+    rng_n = np.random.default_rng(42 + (row_id % (2**31)))      # noise
+    if dur_ms is None:
+        dur_ms = int(200 + (row_id * 37) % 800)
+    n = sr_hz * dur_ms // 1000
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    # three INDEPENDENT random tones, not a harmonic stack: two distinct
+    # ids collide acoustically only if all three frequencies coincide
+    # (single-f0 identities collide at birthday rate over a few-hundred-clip
+    # corpus and percolate the near-dup graph)
+    freqs = rng_w.uniform(150.0, 3500.0, size=3)
+    wave = np.zeros(n)
+    for f, amp in zip(freqs, (0.3, 0.2, 0.12)):
+        wave += amp * np.sin(2 * np.pi * float(f) * t
+                             + rng_w.uniform(0.0, 6.28))
+    wave += 0.03 * rng_n.standard_normal(n)
+    return encode_pcm_s16le(wave.astype(np.float32))
+
+
 def clips_from_documents(spark: SparkSession, sf_dir: str,
                          with_golden: bool = True,
                          replicate: int = 1,
-                         max_pcm_ms: "int | None" = None) -> DataFrame:
+                         max_pcm_ms: "int | None" = None,
+                         audio_style: str = "tone") -> DataFrame:
     """Derive a deterministic clips table from the driver's ``documents``
     parquet: transcript = documents.text (+ the golden/adversarial corpus
     appended), PCM synthesized per row. Distributed via mapInPandas — no
@@ -96,7 +129,13 @@ def clips_from_documents(spark: SparkSession, sf_dir: str,
 
     ``replicate`` > 1 produces N distinct-id copies of each document
     (benchmark scale-up); ``max_pcm_ms`` caps the synthesized audio length
-    (dur_ms metadata stays consistent with the bytes)."""
+    (dur_ms metadata stays consistent with the bytes); ``audio_style``
+    picks the PCM recipe — "tone" (the F1 sine family) or "varied"
+    (:func:`synth_pcm_varied`: per-id spectra + planted audio near-dups,
+    for queries whose semantics need acoustically distinct clips)."""
+    if audio_style not in ("tone", "varied"):
+        raise ValueError(f"unknown audio_style {audio_style!r}")
+    synth_fn = synth_pcm_varied if audio_style == "varied" else synth_pcm
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     if replicate > 1:
         # salt each replica's transcript with a distinct trailing token:
@@ -137,7 +176,11 @@ def clips_from_documents(spark: SparkSession, sf_dir: str,
                 srs, bs, dms = [], [], []
                 for d, txt in zip(pdf["doc_id"], pdf["text"]):
                     d = int(d)
-                    sr = 8000 if d % 17 == 0 else (22050 if d % 23 == 0 else 16000)
+                    # varied mode: a planted audio dup (d % 29 == 1) is the
+                    # SAME RECORDING re-uploaded — it must share the base
+                    # clip's sample rate, not roll its own
+                    sid = d - 1 if (audio_style == "varied" and d % 29 == 1) else d
+                    sr = 8000 if sid % 17 == 0 else (22050 if sid % 23 == 0 else 16000)
                     # duration tracks transcript length (~25 chars/s speech
                     # rate) so the rate rule only fires on deliberate outliers
                     nchars = len(txt) if isinstance(txt, str) else 0
@@ -146,7 +189,7 @@ def clips_from_documents(spark: SparkSession, sf_dir: str,
                         dur = 100_000 if d % 2 == 0 else 200
                     if max_pcm_ms is not None:
                         dur = min(dur, max_pcm_ms)
-                    raw = synth_pcm(d, sr, dur_ms=dur)
+                    raw = synth_fn(d, sr, dur_ms=dur)
                     srs.append(sr)
                     bs.append(raw)
                     dms.append(len(raw) // 2 * 1000 // sr)
@@ -158,7 +201,8 @@ def clips_from_documents(spark: SparkSession, sf_dir: str,
 
     df = docs.mapInPandas(synth, schema=CLIPS_SCHEMA)
     if with_golden:
-        extra = golden_clips(spark, start_id=10_000_000)
+        extra = golden_clips(spark, start_id=10_000_000,
+                             audio_style=audio_style)
         df = df.unionByName(extra)
     return df
 
@@ -194,21 +238,26 @@ def signal_adversarial_clips(spark: SparkSession,
 
 def make_clips(spark: SparkSession,
                rows: "list[tuple[str, str]]",
-               pcm_seed_base: int = 0) -> DataFrame:
+               pcm_seed_base: int = 0,
+               audio_style: str = "tone") -> DataFrame:
     """Tiny ad-hoc clips table from (clip_id, transcript) pairs — the ONE
     copy of the duration/PCM synthesis recipe (golden_clips delegates
-    here); ~15 chars/s duration keeps the rate-anomaly rule quiet."""
+    here); ~15 chars/s duration keeps the rate-anomaly rule quiet.
+    ``audio_style="varied"`` uses the per-id-spectrum recipe
+    (:func:`synth_pcm_varied`) so the rows are acoustically distinct."""
+    synth_fn = synth_pcm_varied if audio_style == "varied" else synth_pcm
     out = []
     for i, (cid, s) in enumerate(rows):
         dur = max(200, min(60_000, int(len(s) * 1000 / 15)))
-        raw = synth_pcm(pcm_seed_base + i, dur_ms=dur)
+        raw = synth_fn(pcm_seed_base + i, dur_ms=dur)
         out.append(
             (cid, raw, 16000, len(raw) // 2 * 1000 // 16000, "pcm_s16le", s)
         )
     return spark.createDataFrame(out, schema=CLIPS_SCHEMA)
 
 
-def golden_clips(spark: SparkSession, start_id: int = 0) -> DataFrame:
+def golden_clips(spark: SparkSession, start_id: int = 0,
+                 audio_style: str = "tone") -> DataFrame:
     """Small driver-side DataFrame of the golden + adversarial corpus
     (row synthesis delegated to make_clips — one copy of the duration/PCM
     recipe)."""
@@ -217,6 +266,7 @@ def golden_clips(spark: SparkSession, start_id: int = 0) -> DataFrame:
         spark,
         [(f"clip-{start_id + i:012d}", s) for i, s in enumerate(sents)],
         pcm_seed_base=start_id,
+        audio_style=audio_style,
     )
 
 

@@ -242,3 +242,50 @@ def test_curate_lazy_mode_unchanged(spark):
     for f in st.values():
         lvl = f.storageLevel
         assert not (lvl.useMemory or lvl.useDisk)  # ...until released
+
+
+def test_curate_clips_end_to_end(spark):
+    """The registered curate_clips entry (BASELINE.json north_star as ONE
+    chain) at sf0.01: stage counts pinned, planted audio near-dups (ids ≡ 1
+    mod 29 reuse the previous id's spectrum — sources/clips.py
+    synth_pcm_varied) are collapsed by the acoustic stage, the output is
+    multi-language via the golden rows, and the eager lifecycle leaves no
+    stage frame cached."""
+    from heliport_spark.operators.curate import curate_clips
+    from heliport_spark.sources.clips import clips_from_documents
+
+    clips = clips_from_documents(spark, SF_SMALL, audio_style="varied")
+    st = {}
+    rows = curate_clips(clips, audio_neardup=True, stages=st).collect()
+    counts = {k: v.count() for k, v in st.items()}
+    assert counts == {
+        "filtered": 512,      # quality-filter keep gate (521 in)
+        "exact": 512,         # no byte-identical scrubbed transcripts here
+        "neardup": 499,       # simhash transcript clusters collapsed
+        "corpus": 454,        # benchmark split removed (hash-held-out)
+        "decon": 391,         # benchmark-overlapping transcripts dropped
+        "audio_neardup": 381, # planted re-uploads + 1 true spectral twin
+        "resampled": 132,     # per-predicted-lang temperature resample
+    }
+    assert len(rows) == 132
+    # golden rows give the output real language diversity, labeled by the
+    # PIPELINE's prediction
+    langs = {r["lang"] for r in rows}
+    assert {"eng", "ara", "tso", "nld"} <= langs
+    # every planted audio-dup pair that reached the audio stage lost its
+    # non-canonical member there
+    dec = {r["clip_id"] for r in st["decon"].select("clip_id").collect()}
+    adp = {r["clip_id"] for r in
+           st["audio_neardup"].select("clip_id").collect()}
+    planted = collapsed = 0
+    for cid in dec:
+        k = int(cid.split("-")[1])
+        if k % 29 == 1 and f"clip-{k - 1:012d}" in dec:
+            planted += 1
+            if cid not in adp or f"clip-{k - 1:012d}" not in adp:
+                collapsed += 1
+    assert planted >= 5 and collapsed == planted
+    # eager lifecycle: nothing chain-owned stays cached
+    for name, frame in st.items():
+        lvl = frame.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), name
