@@ -94,10 +94,12 @@ SECTIONS = [
      "back into a codegen comparison chain - contrast with the ntile "
      "twin's per-language window sort"),
     ("ann_ivfpq",
-     "IVF-PQ: one Arrow encode pass to (centroid, 8-byte code), probe "
-     "equi-join on centroid moving 12 B/corpus row, ADC pandas UDF over "
-     "the broadcast codebooks, window top-rerank, then the full-vector "
-     "fetch join ONLY for the shortlist and the exact-cosine top-k window"),
+     "IVF-PQ: one Arrow encode pass to (assign nearest centroids, ONE "
+     "8-byte code) exploded to 12 B rows, probe equi-join on centroid, "
+     "ADC pandas UDF over the broadcast codebooks, map-side-combined "
+     "max-agg collapsing multi-cell replica pairs, window top-rerank, "
+     "then the full-vector fetch join ONLY for the shortlist and the "
+     "exact-cosine top-k window"),
     ("curate_corpus_lid",
      "the full 100 TB curation chain: source gate -> HeLI LID gate (one "
      "ArrowEvalPython over the persisted post-gate frame) -> exact dedup "

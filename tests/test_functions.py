@@ -1277,12 +1277,25 @@ def test_ann_scale_paths_recall_floor(spark):
         for r in brute_force_topk(e, q, k=5).collect()
     }
     assert recall(ivf_ann_topk(e, q, k=5, n_probe=4), exact) >= 0.5
-    # IVF-PQ must hold the same floor as IVF-flat (the compression trades
-    # shuffle bytes, not the recall contract; measures 0.54 here — the
-    # near-random fixture is the hard regime for an 8-byte code)
+    # IVF-PQ: the hard-regime loss is the COARSE PROBE, not the 8 B code —
+    # with single assignment the n_probe=4 exact-distance ceiling is 0.540
+    # and ADC scores the same 0.540 (rotation/residual codebooks were
+    # prototyped and cannot help; see ivfpq_ann_topk docstring). Multi-
+    # assignment (each vector indexed in its `assign` nearest cells) is
+    # what moves it: measured 0.54 / 0.62 / 0.76 at assign=1/2/3. Floors
+    # one notch under the deterministic measurements (VERDICT r6 next #2:
+    # ≥0.65 at the same 8 B codes — assign=3 clears it with margin).
     assert recall(
-        ivfpq_ann_topk(e, q, k=5, n_probe=4, rerank=32), exact
+        ivfpq_ann_topk(e, q, k=5, n_probe=4, rerank=32, assign=1), exact
     ) >= 0.5
+    pq_default = ivfpq_ann_topk(e, q, k=5, n_probe=4, rerank=32)
+    assert recall(pq_default, exact) >= 0.6
+    # replica collisions must never surface as duplicate output pairs
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in pq_default.collect()]
+    assert len(pairs) == len(set(pairs))
+    assert recall(
+        ivfpq_ann_topk(e, q, k=5, n_probe=4, rerank=32, assign=3), exact
+    ) >= 0.65
     # 8 tables + Hamming-1 multiprobe (the defaults) measure 0.64 here —
     # deterministic planes + fixture, so 0.5 is a falsifiable floor
     # (VERDICT r03 #2: the old 0.05 floor passed for a broken operator)
