@@ -1087,6 +1087,23 @@ def _ann_ivfpq(spark, sf):
     return ivfpq_ann_topk(e, q, k=5, n_probe=4, rerank=32)
 
 
+def _quality_classifier(spark, sf):
+    """Trained quality-classifier scores over documents (CCNet/GPT-3/DCLM
+    lineage, VERDICT r6 next #4) — rows-only (the hashed-bucket logistic
+    regression is not ANSI-SQL-expressible; the held-out accuracy floor,
+    numpy≡Spark parity, and the curation-chain gate behavior are pinned in
+    tests/test_classifier.py). One scalar-pandas-UDF pass; weights ride a
+    1 MB broadcast."""
+    from heliport_spark.operators.quality import classifier_score_df
+
+    docs = _t(spark, sf, "documents")
+    return classifier_score_df(docs).select(
+        "doc_id",
+        F.round(F.col("qc_score"), 4).alias("qc_score"),
+        "qc_keep",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # EXACTLY 50 entries — the driver's correctness pass covers the first 50
     # registered queries, so the registry is consolidated to fit (VERDICT r04
@@ -1118,7 +1135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sketches": _corpus_sketches,              # rows-only
         "deterministic_split": _deterministic_split,
         "gopher_rules": _gopher_rules,
-        "decontaminate": _decontaminate,
         "decontaminate_bloom": _decontaminate_bloom,
         "boilerplate_lines": _boilerplate_lines,
         "pack_sequences": _pack_sequences,
@@ -1134,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heli_topk_docs": _heli_topk_docs,                # rows-only
         "quality_filter_clips": _quality_filter_clips,    # rows-only
         "doc_quality": _doc_quality,
+        "quality_classifier": _quality_classifier,        # rows-only
         "scrub_stats": _scrub_stats,
         "keep_drop_rules": _keep_drop_rules,
         # training-side aggregates
@@ -1150,7 +1167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": _audio_neardup,
         "audio_vad": _audio_vad,
         # round-5 curation operators (oracle-exact)
-        "quality_buckets": _quality_buckets,
         "quality_buckets_cutoff": _quality_buckets_cutoff,
         "source_reputation": _source_reputation,
         "winnow_fingerprints": _winnow_fingerprints,
@@ -1296,6 +1312,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     run chained inside the registered `audio_suite` entry; their isolated
     forms stay here for bench continuity + pytest."""
     return {
+        "quality_buckets": _quality_buckets,
+        "decontaminate": _decontaminate,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
         "region_revenue": _region_revenue,
@@ -1391,7 +1409,20 @@ cands AS (
 )"""
 
 
+# Same-operator SECOND MODES parked outside the driver's 50-entry
+# correctness cap to fund new operator entries (curate_clips,
+# quality_classifier): their scale-mode twins stay registered
+# (quality_buckets_cutoff, decontaminate_bloom) and tests/test_queries.py
+# still checks the demoted pair bit-exactly via extra_queries().
+_DEMOTED = ("quality_buckets", "decontaminate")
+
+
 def oracle_sql() -> dict[str, str]:
+    full = _oracle_sql_full()
+    return {k: v for k, v in full.items() if k not in _DEMOTED}
+
+
+def _oracle_sql_full() -> dict[str, str]:
     from heliport_spark.functions.scrub import scrub_sql
     from heliport_spark.functions.text import STOPWORDS
 
@@ -2035,6 +2066,7 @@ def extra_oracle_sql() -> dict[str, str]:
     by tests/test_queries.py, just outside the driver's 50-entry cap. The
     four audio entries in extra_queries are rows-only (no SQL twin)."""
     return {
+        **{k: _oracle_sql_full()[k] for k in _DEMOTED},
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

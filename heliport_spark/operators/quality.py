@@ -14,6 +14,7 @@ low = fluent in the detected language, ~10^7 = pure OOV junk).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -236,4 +237,48 @@ def lang_mix_df(df: DataFrame, text_col: str = "text",
             "id", "n_segs", "maj_lang", "maj_segs", "n_langs",
             "lang_mix_ratio",
         )
+    )
+
+
+def classifier_score_df(
+    df: DataFrame,
+    text_col: str = "text",
+    model_dir: "str | None" = None,
+    score_col: str = "qc_score",
+    keep_col: str = "qc_keep",
+    threshold: "float | None" = None,
+) -> DataFrame:
+    """Trained quality-classifier score per document (CCNet/GPT-3/DCLM
+    lineage — see quality_train.py for the design and the held-out
+    accuracies): appends ``score_col`` (sigmoid in [0, 1]; higher = more
+    reference-like) and ``keep_col`` (score ≥ threshold; the threshold
+    defaults to the one the artifact was evaluated at).
+
+    Scale shape: ONE scalar pandas UDF over the text column only — the
+    1 MB weight table rides a broadcast variable, per-word bucket sums are
+    memoized per executor batch stream (crawl vocabulary is Zipfian, so
+    the memo's hit rate is the frequent-word mass), and everything else
+    stays JVM-side codegen. Same Arrow-pass family as the langid gate;
+    a chain using both pays two scalar-UDF passes, each shipping only the
+    text column."""
+
+    from ..quality_train import (
+        QC_THRESHOLD,
+        load_quality_params,
+        quality_scores,
+    )
+
+    w, dense_w, bias = load_quality_params(model_dir)
+    th = QC_THRESHOLD if threshold is None else threshold
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((w, dense_w, bias))
+
+    @F.pandas_udf("double")
+    def qc(texts: pd.Series) -> pd.Series:
+        bw, bd, bb = bc.value
+        memo: dict = {}
+        return pd.Series(quality_scores(texts.tolist(), bw, bd, bb, memo))
+
+    return df.withColumn(score_col, qc(F.col(text_col))).withColumn(
+        keep_col, F.col(score_col) >= F.lit(float(th))
     )
