@@ -1087,6 +1087,26 @@ def _ann_ivfpq(spark, sf):
     return ivfpq_ann_topk(e, q, k=5, n_probe=4, rerank=32)
 
 
+def _winnow_shared_spans(spark, sf):
+    """Shared-span extraction over winnowing overlap pairs (VERDICT r6
+    next #7): WHERE two docs share content — (id_a, id_b, a_off, b_off,
+    span_len, n_fps), offsets into the normalized text — so boilerplate
+    can be span-scrubbed instead of doc-dropped. Oracle = the same
+    fingerprint CTE + capped pair list + delta-vote segmentation in
+    DuckDB, bit-exact. Entry thresholds (min_shared=12, min_fps=6 ≈ a
+    ≥ ~5w+k-char shared run) target BOILERPLATE-sized spans: the
+    small-vocab fixture makes incidental word-run matches ubiquitous, and
+    the operator defaults emit 112M noise rows at sf0.1 vs 56k here —
+    the same tuning a web corpus needs (common phrases are the fixture's
+    common 5-grams writ large)."""
+    from heliport_spark.operators.dedup import winnow_shared_spans
+
+    return winnow_shared_spans(
+        _docs_repart(spark, sf), min_shared=WSS_MIN_SHARED,
+        min_fps=WSS_MIN_FPS,
+    )
+
+
 def _quality_classifier(spark, sf):
     """Trained quality-classifier scores over documents (CCNet/GPT-3/DCLM
     lineage, VERDICT r6 next #4) — rows-only (the hashed-bucket logistic
@@ -1314,6 +1334,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "quality_buckets": _quality_buckets,
         "decontaminate": _decontaminate,
+        "winnow_shared_spans": _winnow_shared_spans,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
         "region_revenue": _region_revenue,
@@ -1382,6 +1403,65 @@ def _winnow_cte_sql() -> str:
     from heliport_spark.operators.dedup import winnow_sql_cte
 
     return winnow_sql_cte()
+
+
+# winnow_shared_spans entry thresholds — ONE copy generates both engines
+WSS_MIN_SHARED = 12
+WSS_MIN_FPS = 6
+
+
+def _winnow_spans_sql() -> str:
+    """DuckDB twin of dedup.winnow_shared_spans at the driver-entry
+    thresholds: the shared wf CTE, the capped overlap-pair list (the same
+    first-K + representative-link semantics as _minhash_sql_parts), then
+    the delta-vote segmentation — lag/running-sum windows per
+    (pair, delta), split at gaps > w, aggregate to spans."""
+    from heliport_spark.operators.dedup import (
+        MAX_BUCKET,
+        WINNOW_K,
+        WINNOW_W,
+        winnow_sql_cte,
+    )
+
+    return "WITH " + winnow_sql_cte() + f""",
+fpd AS (SELECT DISTINCT id, fp FROM wf),
+fpk AS (SELECT id, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY id) AS rk,
+               min(id) OVER (PARTITION BY fp) AS rep
+        FROM fpd),
+cl AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.id < b.id
+  WHERE a.rk <= {MAX_BUCKET} AND b.rk <= {MAX_BUCKET}
+  UNION ALL
+  SELECT rep AS id_a, id AS id_b FROM fpk WHERE rk > {MAX_BUCKET}
+),
+prs AS (SELECT id_a, id_b FROM cl GROUP BY id_a, id_b
+        HAVING count(*) >= {WSS_MIN_SHARED}),
+mt AS (SELECT p.id_a, p.id_b, a.pos AS a_pos, b.pos AS b_pos,
+              a.pos - b.pos AS delta
+       FROM prs p
+       JOIN wf a ON a.id = p.id_a
+       JOIN wf b ON b.id = p.id_b AND b.fp = a.fp),
+sg AS (SELECT *,
+              CASE WHEN lag(a_pos) OVER
+                     (PARTITION BY id_a, id_b, delta ORDER BY a_pos)
+                   IS NULL
+                   OR a_pos - lag(a_pos) OVER
+                     (PARTITION BY id_a, id_b, delta ORDER BY a_pos)
+                   > {WINNOW_W} THEN 1 ELSE 0 END AS brk
+       FROM mt),
+sg2 AS (SELECT *,
+               sum(brk) OVER (PARTITION BY id_a, id_b, delta
+                              ORDER BY a_pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS seg
+        FROM sg)
+SELECT id_a, id_b, min(a_pos) AS a_off, min(b_pos) AS b_off,
+       (max(a_pos) - min(a_pos) + {WINNOW_K})::BIGINT AS span_len,
+       count(*) AS n_fps
+FROM sg2 GROUP BY id_a, id_b, delta, seg
+HAVING count(*) >= {WSS_MIN_FPS}"""
 
 
 def _minhash_sql_parts() -> str:
@@ -2067,6 +2147,7 @@ def extra_oracle_sql() -> dict[str, str]:
     four audio entries in extra_queries are rows-only (no SQL twin)."""
     return {
         **{k: _oracle_sql_full()[k] for k in _DEMOTED},
+        "winnow_shared_spans": _winnow_spans_sql(),
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

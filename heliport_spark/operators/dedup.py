@@ -713,6 +713,87 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def winnow_shared_spans(df: DataFrame, pairs: "DataFrame | None" = None,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = WINNOW_K, w: int = WINNOW_W,
+                        min_fps: int = 2, min_shared: int = 2,
+                        max_bucket: "int | None" = MAX_BUCKET) -> DataFrame:
+    """WHERE two documents share content, not just THAT they do (VERDICT r6
+    next #7): per overlap pair, the shared spans as
+    ``(id_a, id_b, a_off, b_off, span_len, n_fps)`` — 1-based char offsets
+    into each document's NORMALIZED text (the winnow_fingerprints
+    normalization: strip → lower → whitespace collapse), so boilerplate can
+    be surgically scrubbed instead of doc-dropped.
+
+    The text twin of the audio offset vote (similarity.py fingerprint
+    matching): matched fingerprint VALUES at the same position delta
+    ``a_pos − b_pos`` vote for one alignment of the two documents; within
+    an alignment, consecutive matches more than ``w`` grams apart cannot
+    come from one contiguous shared region (the winnowing guarantee selects
+    ≥ 1 fingerprint from every w-gram window, so intra-span gaps are ≤ w)
+    and split the group into separate spans. Each span covers
+    ``[min_pos, max_pos + k − 1]`` — ``span_len`` is exact up to the
+    fingerprint sampling slack at the region's edges (< w + k chars per
+    side). ``min_fps`` (default 2) drops single-fingerprint votes: a lone
+    40-bit hash match is (rarely) a collision, and a one-fp span carries no
+    alignment evidence.
+
+    ``pairs``: optional (id_a, id_b) candidate list — the pair-list-driven
+    contract of jaccard_verify_pairs (drive it from winnow_overlap_pairs'
+    output, reusing work you already paid for); default recomputes the
+    capped overlap pairs at ``min_shared``.
+
+    Scale shape: fingerprints (the only corpus-wide work) computed ONCE and
+    self-joined per-pair through two equi-joins keyed (id, fp) — candidate
+    volume is bounded by the capped pair list × per-doc fingerprint density
+    (~1/w of grams). The delta grouping is a hash aggregate after one
+    window lag per (pair, delta) partition; no crossJoin, no forced
+    broadcast, no Python."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    if pairs is None:
+        pairs = winnow_overlap_pairs(
+            df, text_col, id_col, k, w, min_shared, max_bucket
+        ).select("id_a", "id_b")
+    else:
+        pairs = pairs.select("id_a", "id_b")
+    a = fps.select(F.col("id").alias("id_a"), F.col("fp"),
+                   F.col("pos").alias("a_pos"))
+    b = fps.select(F.col("id").alias("id_b"), F.col("fp"),
+                   F.col("pos").alias("b_pos"))
+    matches = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "fp"])
+        .select("id_a", "id_b", "a_pos", "b_pos",
+                (F.col("a_pos") - F.col("b_pos")).alias("delta"))
+    )
+    seg_w = Window.partitionBy("id_a", "id_b", "delta").orderBy("a_pos")
+    segged = (
+        matches.withColumn("_prev", F.lag("a_pos").over(seg_w))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("a_pos") - F.col("_prev") > w),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_seg", F.sum("_brk").over(
+            seg_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    return (
+        segged.groupBy("id_a", "id_b", "delta", "_seg")
+        .agg(
+            F.min("a_pos").alias("a_off"),
+            F.min("b_pos").alias("b_off"),
+            (F.max("a_pos") - F.min("a_pos") + k).alias("span_len"),
+            F.count(F.lit(1)).alias("n_fps"),
+        )
+        .filter(F.col("n_fps") >= min_fps)
+        .select("id_a", "id_b", "a_off", "b_off", "span_len", "n_fps")
+    )
+
+
 # Full h60 width: the word hash has 60 bits, so the signature can use all of
 # them (bits above 59 of h60 are always 0 ⇒ their sign-sums are always
 # negative ⇒ dead bits). 60 = 4 bands × 15 for the pairing operator below.

@@ -1630,6 +1630,66 @@ def test_winnow_overlap_capped_bucket(spark):
     assert out.filter("id_a != 0").count() == cap * (cap - 1) // 2 - (cap - 1)
 
 
+def test_winnow_shared_spans_planted(spark):
+    """Span extraction finds WHERE a planted paragraph is shared: offsets
+    land inside the plant (up to the documented w+k sampling slack per
+    side), the delta between a_off and b_off equals the true offset shift,
+    coverage spans most of the plant, and unrelated doc pairs emit no
+    span. A doc sharing the SAME paragraph at TWO positions yields spans
+    at two distinct deltas."""
+    from heliport_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_shared_spans,
+    )
+
+    shared = ("this exact boilerplate paragraph appears in both documents "
+              "word for word with identical characters throughout")
+    pre_a = "alpha opening text before the copied region starts here "
+    pre_b = ("totally different beta preamble of another length entirely "
+             "precedes the copied region in the second document ")
+    post = " and afterwards the texts diverge into unrelated content again"
+    doc_a = pre_a + shared + post + " extra a"
+    doc_b = pre_b + shared + post.upper().lower() + " other b"
+    doc_c = "an unrelated third document with none of the planted text"
+    # doc_d: the shared paragraph TWICE (two alignments vs doc_a)
+    doc_d = "short head " + shared + " middle filler words here " + shared
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c), (4, doc_d)],
+        ["doc_id", "text"],
+    )
+    rows = winnow_shared_spans(df).collect()
+    slack = WINNOW_W + WINNOW_K
+    by_pair = {}
+    for r in rows:
+        by_pair.setdefault((r["id_a"], r["id_b"]), []).append(r)
+    # the unrelated doc shares only incidental short word-runs (k=5 makes
+    # any shared ≥ w+k−1 = 8-char run findable — that's the guarantee, not
+    # a bug): every span involving it stays short
+    for p, spans in by_pair.items():
+        if 3 in p:
+            assert max(r["span_len"] for r in spans) < 30
+    # pair (1,2): one dominant span over the plant (+ the shared `post`
+    # tail continues at the same delta, so the span extends into it)
+    spans_ab = by_pair[(1, 2)]
+    main = max(spans_ab, key=lambda r: r["span_len"])
+    a_true, b_true = len(pre_a) + 1, len(pre_b) + 1  # 1-based offsets
+    assert abs(main["a_off"] - a_true) <= slack
+    assert abs(main["b_off"] - b_true) <= slack
+    # both docs continue identically through `post`: delta is exact even
+    # where the edges wobble
+    assert main["a_off"] - main["b_off"] == a_true - b_true
+    assert main["span_len"] >= len(shared) - 2 * slack
+    # pair (1,4): two alignments of the twice-planted paragraph = two
+    # LONG spans at distinct deltas
+    deltas_ad = {
+        r["a_off"] - r["b_off"]
+        for r in by_pair[(1, 4)]
+        if r["span_len"] >= len(shared) - 2 * slack
+    }
+    assert len(deltas_ad) >= 2
+
+
 def test_cross_corpus_candidates_and_incremental_dedup(spark):
     """Two-corpus dedup: new docs duplicating a reference doc are flagged
     (and dropped by incremental_dedup); genuinely novel docs survive. The
