@@ -961,6 +961,10 @@ def _decontaminate_bloom(spark, sf):
 # line_sep/join_sep generality); min_docs=450 of 500 removes only the
 # near-universal tokens — the stopword-like boilerplate of this corpus.
 BOILER_MIN_DOCS = 450
+# paragraph scope: a per-source footer block (25 docs/source at sf0.01) is
+# exactly the boilerplate this unit targets — far below the token-level
+# 450 threshold that guards the whitespace-token line entry
+BOILER_PAR_MIN_DOCS = 10
 # sequence packing: windows of 64 tokens over ~35-token docs → most windows
 # span document boundaries, exercising the spill math.
 PACK_SEQ_LEN = 64
@@ -975,6 +979,28 @@ def _boilerplate_lines(spark, sf):
     return remove_boilerplate_lines(
         _docs_repart(spark, sf), min_docs=BOILER_MIN_DOCS,
         line_sep=r"\s+", join_sep=" ",
+    )
+
+
+def _boilerplate_paragraphs(spark, sf):
+    """Paragraph-granularity boilerplate removal (VERDICT r6 next #8 —
+    RefinedWeb dedups at line AND paragraph scope). The fixture docs are
+    single-line, so the entry derives a paragraph-bearing table both
+    engines share: body ∥ per-source footer paragraph (25 docs each) ∥ a
+    corpus-wide notice paragraph (all 500) — the two planted footers are
+    the boilerplate the paragraph unit must drop whole while the unique
+    body survives."""
+    from heliport_spark.operators.corpus import remove_boilerplate_lines
+
+    docs = _docs_repart(spark, sf).withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit("\n\nshared footer for "), F.col("source"),
+            F.lit("\n\nunsubscribe notice common to all documents"),
+        ),
+    )
+    return remove_boilerplate_lines(
+        docs, min_docs=BOILER_PAR_MIN_DOCS, unit="paragraph"
     )
 
 
@@ -1335,6 +1361,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": _quality_buckets,
         "decontaminate": _decontaminate,
         "winnow_shared_spans": _winnow_shared_spans,
+        "boilerplate_paragraphs": _boilerplate_paragraphs,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
         "region_revenue": _region_revenue,
@@ -2148,6 +2175,31 @@ def extra_oracle_sql() -> dict[str, str]:
     return {
         **{k: _oracle_sql_full()[k] for k in _DEMOTED},
         "winnow_shared_spans": _winnow_spans_sql(),
+        # paragraph twin of boilerplate_lines: same derived paragraph
+        # table (body + per-source footer + corpus-wide notice), units
+        # split on blank-line runs
+        "boilerplate_paragraphs": f"""
+WITH d2 AS (SELECT doc_id,
+                   text || e'\\n\\nshared footer for ' || source ||
+                   e'\\n\\nunsubscribe notice common to all documents' AS text
+            FROM documents),
+l AS (SELECT doc_id, i, pars[i::INT] AS line FROM (
+        SELECT doc_id, string_split_regex(text, '\\n\\s*\\n') AS pars,
+               unnest(generate_series(1, len(string_split_regex(
+                   text, '\\n\\s*\\n')))) AS i
+        FROM d2)),
+hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd
+                          FROM l GROUP BY line) t
+        WHERE nd >= {{BOILER_MIN_DOCS}}),
+m AS (SELECT l.doc_id, l.i, l.line, (hot.line IS NOT NULL) AS boiler
+      FROM l LEFT JOIN hot ON l.line = hot.line)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT boiler THEN line END, e'\\n\\n'
+                           ORDER BY i), '') AS text_clean,
+       count(*) AS n_lines,
+       sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_removed
+FROM m GROUP BY doc_id""".replace("{BOILER_MIN_DOCS}",
+                                  str(BOILER_PAR_MIN_DOCS)),
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -289,17 +289,31 @@ def decontaminate_bloom(df: DataFrame, benchmark: DataFrame, n: int = 8,
     )
 
 
+# unit presets for remove_boilerplate_lines: split regex + reassembly glue
+_BOILER_UNITS = {
+    "line": (r"\n", "\n"),
+    # paragraph = blank-line-separated block (RefinedWeb dedups at line AND
+    # paragraph scope — a shared footer BLOCK is one unit here even when
+    # its individual lines vary in count across docs)
+    "paragraph": (r"\n\s*\n", "\n\n"),
+}
+
+
 def remove_boilerplate_lines(df: DataFrame, min_docs: int = 2,
                              text_col: str = "text", id_col: str = "doc_id",
-                             line_sep: str = r"\n",
-                             join_sep: str = "\n") -> DataFrame:
-    """Line-level boilerplate removal (the CCNet/RefinedWeb line-dedup
-    step): split each document into lines, count the number of DISTINCT
-    documents each exact line occurs in, drop every line occurring in
-    ≥ ``min_docs`` docs (nav bars, cookie banners, footers), and reassemble
-    the surviving lines in their original order. Output one row per input
-    doc: (id_col, text_clean, n_lines, n_removed) — a doc whose every line
-    is boilerplate survives with text_clean = ''.
+                             unit: str = "line",
+                             line_sep: "str | None" = None,
+                             join_sep: "str | None" = None) -> DataFrame:
+    """Unit-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    step, VERDICT r6 next #8 adds ``unit="paragraph"``): split each
+    document into units (lines, blank-line-separated paragraphs, or a
+    custom ``line_sep``/``join_sep`` override), count the number of
+    DISTINCT documents each exact unit occurs in, drop every unit occurring
+    in ≥ ``min_docs`` docs (nav bars, cookie banners, footers), and
+    reassemble the survivors in their original order. Output one row per
+    input doc: (id_col, text_clean, n_lines, n_removed) — ``n_lines``
+    counts UNITS of the chosen granularity; a doc whose every unit is
+    boilerplate survives with text_clean = ''.
 
     Scale shape: one posexplode → distinct (line, id) → line hash-agg with
     map-side combine (T1's shuffle shape); the frequent-line set is the
@@ -307,6 +321,11 @@ def remove_boilerplate_lines(df: DataFrame, min_docs: int = 2,
     repeated across ≥ min_docs docs), so AQE broadcasts the marker join;
     reassembly is one groupBy(id) whose collect_list is bounded by the
     original document length. No self-join, no all-pairs."""
+    if unit not in _BOILER_UNITS:
+        raise ValueError(f"unknown unit {unit!r} (line|paragraph)")
+    preset_sep, preset_join = _BOILER_UNITS[unit]
+    line_sep = preset_sep if line_sep is None else line_sep
+    join_sep = preset_join if join_sep is None else join_sep
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), line_sep)).alias("i", "line"),

@@ -1037,6 +1037,44 @@ def test_remove_boilerplate_lines(spark):
     assert strict == {1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0}
 
 
+def test_remove_boilerplate_paragraphs(spark):
+    """unit="paragraph" (RefinedWeb paragraph-scope dedup): a shared
+    multi-line footer BLOCK is removed as one unit, a single line shared
+    across docs but embedded in DIFFERENT paragraphs is NOT removed (the
+    paragraph is the unit of comparison, not the line), and blank-line
+    runs with stray whitespace still separate paragraphs."""
+    from heliport_spark.operators.corpus import remove_boilerplate_lines
+
+    footer = "follow us\non all networks"
+    docs = spark.createDataFrame(
+        [
+            (1, f"body one\nstill body one\n\n{footer}"),
+            (2, f"body two\n\n{footer}"),
+            # shares the LINE "still body one" inside a different paragraph
+            (3, "intro three\nstill body one\n \n outro three"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(docs, unit="paragraph").collect()
+    }
+    assert out == {
+        1: ("body one\nstill body one", 2, 1),
+        2: ("body two", 2, 1),
+        3: ("intro three\nstill body one\n\n outro three", 2, 0),
+    }
+    # line mode on the same docs DOES remove the shared line — the two
+    # granularities are genuinely different signals
+    line_out = {
+        r["doc_id"]: r["n_removed"]
+        for r in remove_boilerplate_lines(docs, unit="line").collect()
+    }
+    assert line_out[1] >= 1 and line_out[3] >= 1
+    with pytest.raises(ValueError):
+        remove_boilerplate_lines(docs, unit="sentence")
+
+
 def test_pack_sequences(spark):
     """Concatenate-and-chunk packing: seq_id is the window of the doc's
     first token, seq_off the offset inside it, groups pack independently,
