@@ -2172,8 +2172,9 @@ def extra_oracle_sql() -> dict[str, str]:
     """DuckDB twins for :func:`extra_queries` — bit-exactness still enforced
     by tests/test_queries.py, just outside the driver's 50-entry cap. The
     four audio entries in extra_queries are rows-only (no SQL twin)."""
+    full = _oracle_sql_full()
     return {
-        **{k: _oracle_sql_full()[k] for k in _DEMOTED},
+        **{k: full[k] for k in _DEMOTED},
         "winnow_shared_spans": _winnow_spans_sql(),
         # paragraph twin of boilerplate_lines: same derived paragraph
         # table (body + per-source footer + corpus-wide notice), units

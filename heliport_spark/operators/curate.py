@@ -150,6 +150,14 @@ def curate_documents(
     def _persist(frame: DataFrame) -> DataFrame:
         frame = frame.persist()
         _persisted.append(frame)
+        if eager:
+            # fill the cache NOW (the curate_clips discipline, code-review
+            # r7): the next stage reads this frame from 2-4 subtrees of one
+            # job, and Spark's cache has no cross-task compute dedup — a
+            # cold cache re-runs the expensive upstream (the LID scorer
+            # UDF) once per subtree. At 100 TB this count IS the parquet
+            # materialization between macro-stages.
+            frame.count()
         return frame
 
     # 0a: source gate (source-level only; the per-doc Gopher predicate is

@@ -749,11 +749,29 @@ def winnow_shared_spans(df: DataFrame, pairs: "DataFrame | None" = None,
     (~1/w of grams). The delta grouping is a hash aggregate after one
     window lag per (pair, delta) partition; no crossJoin, no forced
     broadcast, no Python."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    # materialize the fingerprints ONCE (code-review r7): the pair list and
+    # the two match sides would otherwise each re-run the corpus-wide
+    # gram-explode+md5+window scan (no plan-time exchange reuse — the
+    # branches repartition by different keys). localCheckpoint(eager) runs
+    # that scan in one job and the 2-3 downstream branches read the
+    # materialized (id, pos, fp) blocks (~1/w of gram count — the same
+    # "fingerprint table materializes once" contract the minhash scale
+    # notes document; ContextCleaner frees the blocks when the result is
+    # dropped). Callers wanting full laziness pass `pairs=` and their own
+    # staged fps.
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint(
+        eager=True
+    )
     if pairs is None:
-        pairs = winnow_overlap_pairs(
-            df, text_col, id_col, k, w, min_shared, max_bucket
-        ).select("id_a", "id_b")
+        # winnow_overlap_pairs' computation verbatim over the shared frame
+        fpd = fps.select("id", "fp").distinct()
+        pairs = (
+            capped_bucket_pairs(fpd, ["fp"], max_bucket)
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .select("id_a", "id_b")
+        )
     else:
         pairs = pairs.select("id_a", "id_b")
     a = fps.select(F.col("id").alias("id_a"), F.col("fp"),

@@ -262,21 +262,24 @@ def classifier_score_df(
     a chain using both pays two scalar-UDF passes, each shipping only the
     text column."""
 
-    from ..quality_train import (
-        QC_THRESHOLD,
-        load_quality_params,
-        quality_scores,
-    )
+    from ..quality_train import load_quality_params, quality_scores
 
-    w, dense_w, bias = load_quality_params(model_dir)
-    th = QC_THRESHOLD if threshold is None else threshold
+    w, dense_w, bias, meta_th = load_quality_params(model_dir)
+    th = meta_th if threshold is None else threshold
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast((w, dense_w, bias))
+    # per-word memo in the CLOSURE, not per batch: the UDF object is
+    # deserialized once per task, so batches within a task share it (the
+    # "per executor batch stream" contract) — re-hashing the frequent-word
+    # vocabulary every ~10k-row Arrow batch was the hot-path waste the r7
+    # code review flagged. Bounded like the Scorer memos.
+    memo: dict = {}
 
     @F.pandas_udf("double")
     def qc(texts: pd.Series) -> pd.Series:
         bw, bd, bb = bc.value
-        memo: dict = {}
+        if len(memo) > 200_000:
+            memo.clear()  # crawl-scale vocabulary must not grow unbounded
         return pd.Series(quality_scores(texts.tolist(), bw, bd, bb, memo))
 
     return df.withColumn(score_col, qc(F.col(text_col))).withColumn(

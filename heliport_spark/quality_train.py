@@ -179,9 +179,20 @@ def train_quality(
     weight_decay: float = 1e-4,
     seed: int = 42,
     model_src=None,
+    force: bool = False,
     verbose: bool = True,
 ) -> dict:
-    """Fit the logistic regression and write qc_w.npy / qc_meta.json."""
+    """Fit the logistic regression and write qc_w.npy / qc_meta.json.
+    Refuses to overwrite an existing committed artifact without
+    ``force=True`` (CLI ``-f``) — the same discipline as model_compile
+    (the artifact is test-pinned; an accidental retrain must fail loudly,
+    not silently clobber it)."""
+    out_probe = Path(out_dir) / "qc_w.npy"
+    if out_probe.exists() and not force:
+        raise FileExistsError(
+            f"{out_probe} exists — pass force=True / -f to retrain over "
+            f"the committed artifact"
+        )
     rng = np.random.default_rng(seed)
     texts, y, fam = _synth_quality_corpus(rng, per_lang,
                                           model_src=model_src)
@@ -306,13 +317,21 @@ def train_quality(
 
 
 def load_quality_params(model_dir: "str | Path | None" = None):
-    """(w float32 (2^18,), dense_w float64 (3,), bias float) — raises if
-    the artifact is absent (train with ``python -m
-    heliport_spark.quality_train``)."""
+    """(w float32 (2^18,), dense_w float64 (3,), bias float, threshold
+    float) — the threshold is the one the ARTIFACT was evaluated at
+    (meta["threshold"]), not the compile-time constant, so an artifact
+    trained at a different decision boundary gates at its own boundary
+    (code-review r7). Raises if the artifact is absent (train with
+    ``python -m heliport_spark.quality_train``)."""
     d = Path(model_dir) if model_dir is not None else Path(DEFAULT_MODEL_DIR)
     w = np.load(d / "qc_w.npy")
     meta = json.loads((d / "qc_meta.json").read_text())
-    return w, np.asarray(meta["dense_w"], dtype=np.float64), float(meta["bias"])
+    return (
+        w,
+        np.asarray(meta["dense_w"], dtype=np.float64),
+        float(meta["bias"]),
+        float(meta.get("threshold", QC_THRESHOLD)),
+    )
 
 
 def quality_scores(
@@ -353,4 +372,6 @@ def quality_scores(
 
 
 if __name__ == "__main__":  # pragma: no cover
-    print(train_quality())
+    import sys as _sys
+
+    print(train_quality(force="-f" in _sys.argv[1:]))

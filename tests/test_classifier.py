@@ -49,7 +49,8 @@ def test_fresh_seed_generalization():
     must separate fluent from salad at ≥0.85 on this fresh sample (train
     used seed 42; measured 0.8816 at seed 9001, mean-score separation
     0.565 — consistent with the 0.904 held-out split)."""
-    w, dense_w, bias = load_quality_params()
+    w, dense_w, bias, th = load_quality_params()
+    assert th == QC_THRESHOLD  # the committed artifact's boundary
     rng = np.random.default_rng(9001)
     texts, y, _fam = _synth_quality_corpus(rng, per_lang=8)
     scores = quality_scores(texts, w, dense_w, bias)
@@ -80,7 +81,7 @@ def test_spark_udf_matches_numpy(spark):
         r["doc_id"]: (r["qc_score"], r["qc_keep"])
         for r in classifier_score_df(df).collect()
     }
-    w, dense_w, bias = load_quality_params()
+    w, dense_w, bias, _th = load_quality_params()
     ref = quality_scores(texts, w, dense_w, bias)
     for i in range(len(texts)):
         assert out[i][0] == pytest.approx(ref[i], abs=1e-9)
