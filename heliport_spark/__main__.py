@@ -212,6 +212,7 @@ def cmd_pipeline(args) -> int:
         spark, clips, args.output, n_buckets=args.buckets,
         model_dir=args.model_dir, resume=not args.no_resume,
         with_signal_gate=args.signal_gate, with_denoise=args.denoise,
+        with_classifier=args.classifier,
     )
     print(counters)
     return 0
@@ -276,6 +277,11 @@ def main(argv=None) -> int:
                    help="append bytes_dn/noise_db (spectral-subtraction "
                         "denoise) for keep-survivors as the last stage; "
                         "dropped rows emit NULL and skip the FFT")
+    p.add_argument("--classifier", action="store_true",
+                   help="score transcripts with the trained quality "
+                        "classifier (quality_train.py) and fold the "
+                        "low_quality_classifier DROP rule into keep; "
+                        "qc_score stays as a diagnostic column")
     p.set_defaults(fn=cmd_pipeline)
 
     args = ap.parse_args(argv)

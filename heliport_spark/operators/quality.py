@@ -93,6 +93,7 @@ def rule_flags(
     word_ppl: "Column | None" = None,
     cjk_pct: "Column | None" = None,
     word_sparse_langs: "tuple[str, ...] | None" = None,
+    qc_keep: "Column | None" = None,
 ) -> Column:
     """array<string> of fired heuristic rules (D5). Empty array = clean.
 
@@ -101,7 +102,12 @@ def rule_flags(
     fire on fluent-charscore/garbled-words text WITHOUT lang_undetermined
     moving; exempt for mixed/majority-CJK rows (``cjk_pct`` >
     MAX_WORD_CJK_PCT) and for winner languages in ``word_sparse_langs``
-    (pass ``sparse_word_langs()``)."""
+    (pass ``sparse_word_langs()``).
+
+    ``qc_keep`` (the trained quality classifier's keep column from
+    :func:`classifier_score_df`) adds the ``low_quality_classifier`` rule
+    when false — the learned fluency signal next to the heuristic
+    families (opt-in via ``quality_filter(with_classifier=True)``)."""
     nc = T.n_chars(text)
     flags = [
         F.when(nc < MIN_CHARS, F.lit("too_short")),
@@ -138,6 +144,8 @@ def rule_flags(
         if word_sparse_langs:
             cond = cond & ~lang.isin(*word_sparse_langs)
         flags.append(F.when(cond, F.lit("high_word_ppl")))
+    if qc_keep is not None:
+        flags.append(F.when(~qc_keep, F.lit("low_quality_classifier")))
     arr = F.array(*flags)
     return F.filter(arr, lambda x: x.isNotNull())
 
@@ -146,6 +154,7 @@ def rule_flags(
 DROP_RULES = (
     "too_short", "too_long", "high_digit", "low_alpha", "repetition",
     "lang_undetermined", "high_ppl", "high_word_ppl", "rate_anomaly",
+    "low_quality_classifier",
 )
 
 

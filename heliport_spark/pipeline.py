@@ -51,6 +51,7 @@ def quality_filter(
     exact: bool = False,
     with_signal_gate: bool = False,
     with_denoise: bool = False,
+    with_classifier: bool = False,
 ) -> DataFrame:
     """clips → clips + (lang, confidence, keep, scrubbed_text, quality).
 
@@ -71,11 +72,25 @@ def quality_filter(
 
     ``with_denoise=True`` appends ``bytes_dn``/``noise_db`` (spectral-
     subtraction denoise, functions/audio.py) as the LAST stage, gated on
-    the final ``keep`` — dropped rows emit NULL and never pay the FFT."""
+    the final ``keep`` — dropped rows emit NULL and never pay the FFT.
+
+    ``with_classifier=True`` additionally scores every transcript with the
+    trained quality classifier (operators/quality.py::classifier_score_df,
+    lineage in quality_train.py) and folds a ``low_quality_classifier``
+    DROP rule into the decision; ``qc_score`` stays as a diagnostic
+    column. Off by default: the reference's keep decision (the F1 gate)
+    predates the classifier, and enabling it requires the qc artifact in
+    ``model_dir``. One more scalar-pandas-UDF pass shipping only the text
+    column (stateless — works identically on streaming frames)."""
     scored = identify_df(
         df, text_col=text_col, model_dir=model_dir, with_ft=with_ft,
         exact=exact, with_word_nll=True,
     )
+    if with_classifier:
+        from .operators.quality import classifier_score_df
+
+        scored = classifier_score_df(scored, text_col=text_col,
+                                     model_dir=model_dir)
     ppl = perplexity(F.col("raw_score"))
     word_ppl = F.pow(F.lit(10.0), F.col("word_nll").cast("double"))
     flags = rule_flags(
@@ -87,6 +102,7 @@ def quality_filter(
         word_ppl=word_ppl,
         cjk_pct=F.col("cjk_pct"),
         word_sparse_langs=sparse_word_langs(model_dir),
+        qc_keep=F.col("qc_keep") if with_classifier else None,
     )
     # scrub_apply (not the inline scrub_expr twins): evaluates the dirty
     # gate once per row — measured 5× on the clean-heavy 800k-clip bench
@@ -131,6 +147,8 @@ def quality_filter(
                  "cjk_pct"]
     if with_ft:
         drop_cols += ["ft_lang", "ft_prob"]
+    if with_classifier:
+        drop_cols += ["qc_keep"]  # folded into rule_flags; qc_score stays
     out = out.drop(*drop_cols).withColumnRenamed("score", "confidence")
     if with_denoise:
         from .functions.audio import denoise_audio_df
@@ -153,6 +171,7 @@ def run_pipeline(
     fail_after_buckets: "int | None" = None,
     with_signal_gate: bool = False,
     with_denoise: bool = False,
+    with_classifier: bool = False,
 ) -> dict:
     """Bucketed checkpoint/resume driver loop (D9).
 
@@ -195,6 +214,7 @@ def run_pipeline(
         result = quality_filter(
             part, model_dir=model_dir, with_ft=with_ft,
             with_signal_gate=with_signal_gate, with_denoise=with_denoise,
+            with_classifier=with_classifier,
         )
         result = result.observe(
             obs,

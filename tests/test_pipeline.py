@@ -93,6 +93,52 @@ def test_signal_gate_opt_in(spark):
         out.unpersist()
 
 
+def test_classifier_opt_in(spark):
+    """with_classifier=True: a salad transcript that passes every heuristic
+    rule (length, ratios, vocab words, rate) is dropped by the
+    low_quality_classifier rule with its qc_score surfaced; fluent rows
+    keep; the default pipeline has no qc columns and identical keeps.
+    The classifier gate only ever drops more, never resurrects."""
+    from heliport_spark.sources.clips import make_clips
+
+    rows = [
+        ("clip-qc-fluent-0",
+         "the quick brown fox jumps over the lazy dog near the river bank"),
+        ("clip-qc-fluent-1",
+         "she walked into the town and bought some bread for the family"),
+        # measured qc 0.003 — but passes length/digit/alpha/repetition/
+        # rate and is all real English words (char+word ppl stay modest)
+        ("clip-qc-salad-0",
+         "the spam of spam the spam of spam the spam of spam the spam"),
+    ]
+    clips = make_clips(spark, rows)
+    out = quality_filter(clips, with_classifier=True).cache()
+    try:
+        got = {
+            r["clip_id"]: r
+            for r in out.select(
+                "clip_id", "keep", "qc_score", "quality.rule_flags"
+            ).collect()
+        }
+        salad = got["clip-qc-salad-0"]
+        assert not salad["keep"]
+        assert "low_quality_classifier" in salad["rule_flags"]
+        assert salad["qc_score"] < 0.5
+        for cid in ("clip-qc-fluent-0", "clip-qc-fluent-1"):
+            assert got[cid]["keep"], cid
+            assert got[cid]["qc_score"] >= 0.5
+        # default path: no qc columns, and the classifier never resurrects
+        plain = quality_filter(clips)
+        assert "qc_score" not in plain.columns
+        assert "qc_keep" not in plain.columns
+        pk = {r["clip_id"]: r["keep"] for r in
+              plain.select("clip_id", "keep").collect()}
+        for cid, r in got.items():
+            assert not (r["keep"] and not pk[cid])
+    finally:
+        out.unpersist()
+
+
 def test_denoise_opt_in(spark, filtered):
     """with_denoise=True: keep-survivors gain bytes_dn/noise_db, dropped
     rows get NULL (their FFT is skipped), source bytes ride through
