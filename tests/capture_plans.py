@@ -100,6 +100,20 @@ SECTIONS = [
      "max-agg collapsing multi-cell replica pairs, window top-rerank, "
      "then the full-vector fetch join ONLY for the shortlist and the "
      "exact-cosine top-k window"),
+    ("quality_classifier",
+     "trained quality classifier: exactly one ArrowEvalPython (scalar "
+     "pandas UDF) fed by a pruned 2-column scan; the 1 MB weight table "
+     "rides a broadcast variable, everything else is codegen"),
+    ("winnow_fingerprints",
+     "winnowing: codegen explode+substr -> md5 -> ONE running-frame "
+     "window min partitioned by id -> distinct; the id exchange is "
+     "reused by the window sort"),
+    ("winnow_shared_spans",
+     "shared-span extraction: the fingerprint table is materialized ONCE "
+     "(eager localCheckpoint — the scans below read its blocks, not the "
+     "corpus) then capped fp self-join -> pair agg -> two (id, fp) "
+     "equi-joins -> per-(pair, delta) lag window + running-sum "
+     "segmentation -> span hash-agg; no crossJoin, no forced broadcast"),
     ("curate_corpus_lid",
      "the full 100 TB curation chain: source gate -> HeLI LID gate (one "
      "ArrowEvalPython over the persisted post-gate frame) -> exact dedup "
