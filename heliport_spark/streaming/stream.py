@@ -33,10 +33,14 @@ def stream_clips_from_directory(spark: SparkSession, input_dir: str,
 
 
 def streaming_quality_filter(clips_stream: DataFrame,
-                             model_dir: "str | None" = None) -> DataFrame:
+                             model_dir: "str | None" = None,
+                             with_classifier: bool = False) -> DataFrame:
     """The batch pipeline applied to a stream (stateless → trivially
-    stream-safe; no watermark needed)."""
-    return quality_filter(clips_stream, model_dir=model_dir, with_ft=False)
+    stream-safe; no watermark needed). ``with_classifier`` forwards the
+    trained-classifier DROP rule (also stateless — one more scalar-UDF
+    pass)."""
+    return quality_filter(clips_stream, model_dir=model_dir, with_ft=False,
+                          with_classifier=with_classifier)
 
 
 def start_pipeline_stream(

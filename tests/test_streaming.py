@@ -42,6 +42,56 @@ def test_streaming_pipeline(spark, stream_dirs):
     assert spa and spa[0]["lang"] == "spa"
 
 
+def test_streaming_classifier_matches_batch(spark):
+    """with_classifier on a stream ≡ the batch pipeline (the classifier
+    UDF is stateless): same qc_score per clip, same keep decisions, and
+    the salad row is dropped by the low_quality_classifier rule in both
+    engines."""
+    import tempfile as _tf
+
+    from heliport_spark.pipeline import quality_filter
+    from heliport_spark.sources.clips import make_clips
+    from heliport_spark.streaming.stream import streaming_quality_filter
+
+    rows = [
+        ("clip-sqc-0",
+         "the quick brown fox jumps over the lazy dog near the river bank"),
+        ("clip-sqc-1",
+         "the spam of spam the spam of spam the spam of spam the spam"),
+    ]
+    clips = make_clips(spark, rows)
+    base = _tf.mkdtemp(prefix="hs_qc_stream_")
+    clips.write.mode("overwrite").parquet(f"{base}/in")
+    stream = stream_clips_from_directory(spark, f"{base}/in")
+    out = streaming_quality_filter(stream, with_classifier=True)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["clip_id"]: (r["keep"], round(r["qc_score"], 9))
+        for r in spark.read.parquet(f"{base}/out")
+        .select("clip_id", "keep", "qc_score")
+        .collect()
+    }
+    want = {
+        r["clip_id"]: (r["keep"], round(r["qc_score"], 9))
+        for r in quality_filter(clips, with_ft=False, with_classifier=True)
+        .select("clip_id", "keep", "qc_score")
+        .collect()
+    }
+    assert got == want
+    assert got["clip-sqc-0"][0] is True
+    assert got["clip-sqc-1"][0] is False
+
+
 def test_streaming_stateful_dedup(spark):
     """Duplicates arriving in a LATER trigger are dropped by the
     applyInPandasWithState operator (state survives across micro-batches)."""
