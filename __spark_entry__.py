@@ -1133,6 +1133,25 @@ def _winnow_shared_spans(spark, sf):
     )
 
 
+def _remove_shared_spans(spark, sf):
+    """Span SCRUBBING — the consumer of winnow_shared_spans: merged span
+    intervals are removed from the non-canonical (higher-id) member of
+    each overlap pair, per-doc; output (doc_id, text_clean, n_spans,
+    chars_removed) over the normalized text. Oracle = the same window
+    chain in DuckDB (interval merge + lag gaps + ordered string_agg),
+    bit-exact."""
+    from heliport_spark.operators.dedup import (
+        remove_shared_spans,
+        winnow_shared_spans,
+    )
+
+    docs = _docs_repart(spark, sf)
+    spans = winnow_shared_spans(
+        docs, min_shared=WSS_MIN_SHARED, min_fps=WSS_MIN_FPS
+    )
+    return remove_shared_spans(docs, spans)
+
+
 def _quality_classifier(spark, sf):
     """Trained quality-classifier scores over documents (CCNet/GPT-3/DCLM
     lineage, VERDICT r6 next #4) — rows-only (the hashed-bucket logistic
@@ -1361,6 +1380,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": _quality_buckets,
         "decontaminate": _decontaminate,
         "winnow_shared_spans": _winnow_shared_spans,
+        "remove_shared_spans": _remove_shared_spans,
         "boilerplate_paragraphs": _boilerplate_paragraphs,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
@@ -1437,12 +1457,13 @@ WSS_MIN_SHARED = 12
 WSS_MIN_FPS = 6
 
 
-def _winnow_spans_sql() -> str:
-    """DuckDB twin of dedup.winnow_shared_spans at the driver-entry
-    thresholds: the shared wf CTE, the capped overlap-pair list (the same
-    first-K + representative-link semantics as _minhash_sql_parts), then
-    the delta-vote segmentation — lag/running-sum windows per
-    (pair, delta), split at gaps > w, aggregate to spans."""
+def _winnow_spans_cte() -> str:
+    """Shared CTE chain for the two winnow-span oracles (spans +
+    remove_shared_spans), ending in ``sp(id_a, id_b, a_off, b_off,
+    span_len, n_fps)`` at the driver-entry thresholds: the wf CTE, the
+    capped overlap-pair list (the same first-K + representative-link
+    semantics as _minhash_sql_parts), then the delta-vote segmentation —
+    lag/running-sum windows per (pair, delta), split at gaps > w."""
     from heliport_spark.operators.dedup import (
         MAX_BUCKET,
         WINNOW_K,
@@ -1483,12 +1504,60 @@ sg2 AS (SELECT *,
                               ORDER BY a_pos
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS seg
-        FROM sg)
-SELECT id_a, id_b, min(a_pos) AS a_off, min(b_pos) AS b_off,
-       (max(a_pos) - min(a_pos) + {WINNOW_K})::BIGINT AS span_len,
-       count(*) AS n_fps
-FROM sg2 GROUP BY id_a, id_b, delta, seg
-HAVING count(*) >= {WSS_MIN_FPS}"""
+        FROM sg),
+sp AS (SELECT id_a, id_b, min(a_pos) AS a_off, min(b_pos) AS b_off,
+              (max(a_pos) - min(a_pos) + {WINNOW_K})::BIGINT AS span_len,
+              count(*) AS n_fps
+       FROM sg2 GROUP BY id_a, id_b, delta, seg
+       HAVING count(*) >= {WSS_MIN_FPS})"""
+
+
+def _winnow_spans_sql() -> str:
+    return _winnow_spans_cte() + """
+SELECT id_a, id_b, a_off, b_off, span_len, n_fps FROM sp"""
+
+
+def _remove_spans_sql() -> str:
+    """DuckDB twin of dedup.remove_shared_spans over the driver-entry
+    spans: interval merge via the classic running-max window trick, kept
+    gaps via one lag window, ordered string_agg reassembly + tail, left
+    join restoring span-free docs with their normalized text."""
+    return _winnow_spans_cte() + """,
+iv AS (SELECT DISTINCT id_b AS id, b_off AS off, b_off + span_len AS e
+       FROM sp),
+gi AS (SELECT id, off, e,
+              max(e) OVER (PARTITION BY id ORDER BY off, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS run_end
+       FROM iv),
+gi2 AS (SELECT *,
+               sum(CASE WHEN run_end IS NULL OR off > run_end
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY id ORDER BY off, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS grp
+        FROM gi),
+mg AS (SELECT id, grp, min(off) AS m_off, max(e) AS m_end
+       FROM gi2 GROUP BY id, grp),
+gp AS (SELECT *, coalesce(lag(m_end) OVER (PARTITION BY id
+                                           ORDER BY m_off), 1) AS seg_start
+       FROM mg),
+pid AS (SELECT gp.id,
+               string_agg(substr(n.norm, seg_start::INT,
+                                 (m_off - seg_start)::INT),
+                          '' ORDER BY m_off) AS mid,
+               max(m_end) AS tail_start,
+               count(*)::BIGINT AS n_spans,
+               sum(m_end - m_off)::BIGINT AS chars_removed
+        FROM gp JOIN nrm n ON n.id = gp.id GROUP BY gp.id)
+SELECT n.id AS doc_id,
+       CASE WHEN p.id IS NULL THEN n.norm
+            ELSE p.mid || substr(n.norm, p.tail_start::INT,
+                                 len(n.norm) - p.tail_start::INT + 1)
+       END AS text_clean,
+       coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(p.chars_removed, 0)::BIGINT AS chars_removed
+FROM nrm n LEFT JOIN pid p ON p.id = n.id"""
 
 
 def _minhash_sql_parts() -> str:
@@ -2176,6 +2245,7 @@ def extra_oracle_sql() -> dict[str, str]:
     return {
         **{k: full[k] for k in _DEMOTED},
         "winnow_shared_spans": _winnow_spans_sql(),
+        "remove_shared_spans": _remove_spans_sql(),
         # paragraph twin of boilerplate_lines: same derived paragraph
         # table (body + per-source footer + corpus-wide notice), units
         # split on blank-line runs

@@ -812,6 +812,96 @@ def winnow_shared_spans(df: DataFrame, pairs: "DataFrame | None" = None,
     )
 
 
+def remove_shared_spans(df: DataFrame, spans: DataFrame,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Surgically SCRUB the shared spans out of the non-canonical member
+    of each overlap pair — the completion of :func:`winnow_shared_spans`'s
+    purpose (drop the boilerplate, keep the document). Output one row per
+    input doc: ``(id_col, text_clean, n_spans, chars_removed)`` where
+    ``text_clean`` is the NORMALIZED text (the winnowing normalization:
+    strip → lower → whitespace collapse — span offsets are only defined
+    there) with every merged span interval removed; docs with no spans
+    pass through with their normalized text intact.
+
+    Victim choice: the ``id_b`` side of each span (pairs are emitted with
+    ``id_a < id_b``), so the lowest-id copy of any shared region survives
+    corpus-wide — the same canonical-keeps convention as dup_clusters.
+
+    Pure Catalyst, no UDF: overlapping intervals are merged with the
+    classic window trick (a new group starts where ``off`` exceeds the
+    running max of previous ``end``s), kept gaps come from one lag window
+    over the merged intervals, and the ordered reassembly is the
+    array_sort(collect_list(struct)) pattern of remove_boilerplate_lines.
+    Scale shape: everything is keyed by doc id (two window passes + two
+    hash aggregates on the SPAN table, which is ≪ corpus; the corpus-side
+    work is one left join by id). The DuckDB twin mirrors it window for
+    window — oracle-exact."""
+    from ..functions.text import ws_strip
+
+    norm = F.lower(F.regexp_replace(ws_strip(F.col(text_col)), r"\s+", " "))
+    docs = df.select(F.col(id_col).alias("id"), norm.alias("norm"))
+    # DISTINCT intervals: duplicates (the same b-region shared with several
+    # partners) are merge-no-ops, and removing them makes the (off, end)
+    # window order a TOTAL order per id — tied duplicate rows under a ROWS
+    # frame are exactly the ambiguity that made the DuckDB twin's parallel
+    # window nondeterministic before the same dedup was applied there
+    iv = spans.select(
+        F.col("id_b").alias("id"),
+        F.col("b_off").alias("off"),
+        (F.col("b_off") + F.col("span_len")).alias("end"),
+    ).distinct()
+    w = Window.partitionBy("id").orderBy("off", "end")
+    run_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = iv.withColumn(
+        "_new", F.when(run_end.isNull() | (F.col("off") > run_end), 1)
+        .otherwise(0)
+    ).withColumn(
+        "_grp",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = grouped.groupBy("id", "_grp").agg(
+        F.min("off").alias("m_off"), F.max("end").alias("m_end")
+    )
+    w2 = Window.partitionBy("id").orderBy("m_off")
+    gaps = merged.withColumn(
+        "seg_start", F.coalesce(F.lag("m_end").over(w2), F.lit(1))
+    )
+    per_id = gaps.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("seg_start"), F.col("m_off")))
+        ).alias("_segs"),
+        F.max("m_end").alias("_tail_start"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("m_end") - F.col("m_off")).alias("chars_removed"),
+    )
+    joined = docs.join(per_id, "id", "left")
+    kept_mid = F.concat_ws(
+        "",
+        F.transform(
+            F.col("_segs"),
+            lambda s: F.col("norm").substr(
+                s["seg_start"], s["m_off"] - s["seg_start"]
+            ),
+        ),
+    )
+    tail = F.col("norm").substr(
+        F.col("_tail_start"),
+        F.length("norm") - F.col("_tail_start") + 1,
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.when(F.col("_segs").isNull(), F.col("norm"))
+        .otherwise(F.concat(kept_mid, tail)).alias("text_clean"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+        F.coalesce(F.col("chars_removed"), F.lit(0)).alias("chars_removed"),
+    )
+
+
 # Full h60 width: the word hash has 60 bits, so the signature can use all of
 # them (bits above 59 of h60 are always 0 ⇒ their sign-sums are always
 # negative ⇒ dead bits). 60 = 4 bands × 15 for the pairing operator below.

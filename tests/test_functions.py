@@ -1728,6 +1728,44 @@ def test_winnow_shared_spans_planted(spark):
     assert len(deltas_ad) >= 2
 
 
+def test_remove_shared_spans_semantics(spark):
+    """The span scrubber: overlapping/duplicate intervals merge before
+    removal, spans at the very start/end truncate cleanly, the canonical
+    (id_a) side is never touched, span-free docs pass through with their
+    normalized text, and normalization (strip/lower/ws-collapse) is the
+    winnowing one."""
+    from heliport_spark.operators.dedup import remove_shared_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA bbbb cccc dddd"),
+            (2, "  Xxxx bbbb  cccc yyyy  "),
+            (3, "untouched document"),
+        ],
+        ["doc_id", "text"],
+    )
+    # normalized doc 2 = "xxxx bbbb cccc yyyy" (19 chars)
+    # two overlapping spans [6,11) + [9,16) merge to [6,16); a duplicate
+    # of the first and a tail span [18,20) exercise dedup + end truncation
+    spans = spark.createDataFrame(
+        [
+            (1, 2, 6, 6, 5, 2),
+            (1, 2, 6, 6, 5, 2),   # duplicate interval
+            (1, 2, 9, 9, 7, 2),   # overlaps -> merged [6,16)
+            (1, 2, 1, 18, 2, 2),  # tail span [18,20)
+        ],
+        ["id_a", "id_b", "a_off", "b_off", "span_len", "n_fps"],
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in remove_shared_spans(docs, spans).collect()}
+    # kept: [1,6)="xxxx " + [16,18)="yy" (tail [20,..) is empty)
+    assert out[2]["text_clean"] == "xxxx yy"
+    assert out[2]["n_spans"] == 2 and out[2]["chars_removed"] == 12
+    assert out[1]["text_clean"] == "aaaa bbbb cccc dddd"
+    assert out[1]["n_spans"] == 0 and out[1]["chars_removed"] == 0
+    assert out[3]["text_clean"] == "untouched document"
+
+
 def test_cross_corpus_candidates_and_incremental_dedup(spark):
     """Two-corpus dedup: new docs duplicating a reference doc are flagged
     (and dropped by incremental_dedup); genuinely novel docs survive. The
