@@ -283,6 +283,7 @@ def curate_clips(
     transcript_col: str = "transcript",
     model_dir: "str | None" = None,
     with_ft: bool = True,
+    classifier: bool = False,
     decon_mod: int = 11,
     decon_n: int = 4,
     bloom_m_bits: int = 1 << 20,
@@ -360,8 +361,12 @@ def curate_clips(
         return frame
 
     # 1: the flagship gate — langid + ppl + rules + scrub, one Arrow pass
+    # (+ the trained-classifier DROP rule when ``classifier=True`` — the
+    # learned fluency signal joins the same keep decision, so salad
+    # transcripts die here before any corpus-level work)
     scored = quality_filter(
-        clips, text_col=transcript_col, model_dir=model_dir, with_ft=with_ft
+        clips, text_col=transcript_col, model_dir=model_dir, with_ft=with_ft,
+        with_classifier=classifier,
     )
     kept0 = scored.filter(F.col("keep"))
     cols = [id_col, "lang", "confidence", "scrubbed_text"]

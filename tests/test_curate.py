@@ -244,6 +244,28 @@ def test_curate_lazy_mode_unchanged(spark):
         assert not (lvl.useMemory or lvl.useDisk)  # ...until released
 
 
+def test_curate_clips_classifier_gate(spark):
+    """curate_clips(classifier=True): the trained-classifier DROP rule
+    joins the stage-1 keep decision — a salad transcript that passes every
+    heuristic rule dies at `filtered`, fluent rows survive to the end."""
+    from heliport_spark.operators.curate import curate_clips
+    from heliport_spark.sources.clips import make_clips
+
+    clips = make_clips(spark, [
+        ("clip-cc-f0",
+         "the quick brown fox jumps over the lazy dog near the river bank"),
+        ("clip-cc-f1",
+         "she walked into the town and bought some bread for the family"),
+        ("clip-cc-s0",
+         "the spam of spam the spam of spam the spam of spam the spam"),
+    ])
+    st = {}
+    rows = curate_clips(clips, classifier=True, stages=st).collect()
+    kept = {r["clip_id"] for r in st["filtered"].select("clip_id").collect()}
+    assert kept == {"clip-cc-f0", "clip-cc-f1"}
+    assert {r["clip_id"] for r in rows} <= kept
+
+
 def test_curate_clips_end_to_end(spark):
     """The registered curate_clips entry (BASELINE.json north_star as ONE
     chain) at sf0.01: stage counts pinned, planted audio near-dups (ids ≡ 1
