@@ -1133,6 +1133,20 @@ def _winnow_shared_spans(spark, sf):
     )
 
 
+DSIR_N = 200  # docs the DSIR entry selects — ONE constant, both engines
+
+
+def _dsir_resample(spark, sf):
+    """DSIR importance resampling (Xie et al. 2023): select DSIR_N docs
+    whose hashed-bigram distribution matches the Gopher-passing subset's
+    rather than the raw corpus's, via deterministic seeded Gumbel top-k.
+    Oracle = the same gram/bucket/log-ratio/Gumbel chain in DuckDB,
+    bit-exact (log-ratios rounded at 10 dp kill libm 1-ulp drift)."""
+    from heliport_spark.operators.corpus import dsir_resample
+
+    return dsir_resample(_docs_repart(spark, sf), n_select=DSIR_N)
+
+
 def _remove_shared_spans(spark, sf):
     """Span SCRUBBING — the consumer of winnow_shared_spans: merged span
     intervals are removed from the non-canonical (higher-id) member of
@@ -1381,6 +1395,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "winnow_shared_spans": _winnow_shared_spans,
         "remove_shared_spans": _remove_shared_spans,
+        "dsir_resample": _dsir_resample,
         "boilerplate_paragraphs": _boilerplate_paragraphs,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
@@ -1558,6 +1573,70 @@ SELECT n.id AS doc_id,
        coalesce(p.n_spans, 0)::BIGINT AS n_spans,
        coalesce(p.chars_removed, 0)::BIGINT AS chars_removed
 FROM nrm n LEFT JOIN pid p ON p.id = n.id"""
+
+
+def _dsir_sql() -> str:
+    """DuckDB twin of corpus.dsir_resample at the entry defaults: word
+    bigrams → 60-bit-md5 buckets, target flag = the gopher_rules oracle's
+    keep predicate, Laplace-smoothed per-bucket log-ratio (rounded 10 dp),
+    per-doc sum (6 dp), seeded Gumbel key, top-DSIR_N by (key, doc_id)."""
+    from heliport_spark.operators.corpus import (
+        DSIR_ALPHA,
+        DSIR_BUCKETS,
+        DSIR_GUMBEL_M,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS,
+    )
+    from heliport_spark.functions.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    B, A, M = DSIR_BUCKETS, DSIR_ALPHA, DSIR_GUMBEL_M
+    stripped = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+    return f"""
+WITH tok AS (SELECT doc_id, string_split_regex({stripped}, '\\s+') AS toks
+             FROM documents),
+g AS (SELECT doc_id, toks[i::INT] || ' ' || toks[(i + 1)::INT] AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM tok WHERE len(toks) >= 2)),
+met AS (SELECT doc_id,
+               CASE WHEN {stripped} = '' THEN 0
+                    ELSE len(string_split_regex({stripped}, '\\s+')) END AS nw,
+               CASE WHEN {stripped} = '' THEN 0.0
+                    ELSE length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                         / len(string_split_regex({stripped}, '\\s+')) END AS mwl,
+               CASE WHEN {stripped} = '' THEN 0 ELSE
+                 len(list_filter(string_split_regex(lower({stripped}), '\\s+'),
+                                 x -> list_contains([{stop_list}], x))) END AS sh
+        FROM documents),
+tgtf AS (SELECT doc_id,
+                CASE WHEN nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                     AND mwl BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                                 AND {GOPHER_MAX_MEAN_WORD_LEN}
+                     AND sh >= {GOPHER_MIN_STOPWORD_HITS}
+                     THEN 1 ELSE 0 END AS tgt
+         FROM met),
+bkt AS (SELECT g.doc_id,
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT % {B} AS bk, tgt
+        FROM g JOIN tgtf ON tgtf.doc_id = g.doc_id),
+bc AS (SELECT bk, count(*) AS rc, sum(tgt) AS tc FROM bkt GROUP BY bk),
+tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM bc),
+lr AS (SELECT bk, round(ln((tc + {A}) / (tt + {A} * {B}))
+                        - ln((rc + {A}) / (rt + {A} * {B})), 10) AS lrat
+       FROM bc, tot),
+sc AS (SELECT bkt.doc_id, round(sum(lrat), 6) AS dsir_score
+       FROM bkt JOIN lr USING (bk) GROUP BY bkt.doc_id),
+al AS (SELECT d.doc_id, coalesce(sc.dsir_score, 0.0) AS dsir_score
+       FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+ky AS (SELECT doc_id, dsir_score,
+              round(dsir_score - ln(-ln(
+                ((('0x' || substr(md5('42#' || doc_id::VARCHAR), 1, 15))::BIGINT
+                  % {M}) + 0.5) / {M}.0)), 6) AS k
+       FROM al)
+SELECT doc_id, dsir_score FROM ky ORDER BY k DESC, doc_id LIMIT {DSIR_N}"""
 
 
 def _minhash_sql_parts() -> str:
@@ -2246,6 +2325,7 @@ def extra_oracle_sql() -> dict[str, str]:
         **{k: full[k] for k in _DEMOTED},
         "winnow_shared_spans": _winnow_spans_sql(),
         "remove_shared_spans": _remove_spans_sql(),
+        "dsir_resample": _dsir_sql(),
         # paragraph twin of boilerplate_lines: same derived paragraph
         # table (body + per-source footer + corpus-wide notice), units
         # split on blank-line runs

@@ -744,3 +744,102 @@ def length_stats(df: DataFrame, text_col: str = "text",
         F.round(F.avg("len"), 4).alias("avg_len"),
         F.round(F.avg("toks"), 4).alias("avg_tokens"),
     )
+
+
+# ------------------------------------------------------------------- DSIR
+
+DSIR_BUCKETS = 1 << 16   # hashed-bigram feature space (the paper uses 10^4)
+DSIR_ALPHA = 1.0         # Laplace smoothing per bucket
+DSIR_GUMBEL_M = 1_000_000  # uniform-grid resolution for the seeded Gumbel
+
+
+def dsir_resample(
+    df: DataFrame,
+    n_select: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target: "Column | None" = None,
+    gram_n: int = 2,
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+    seed: int = 42,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+    — select ``n_select`` docs whose hashed word-``gram_n``-gram
+    distribution looks like the TARGET subset's rather than the raw
+    corpus's. ``target`` is a boolean Column over the input rows naming
+    the target domain (default: the Gopher keep predicate — "resample
+    toward what the quality gate admits", a self-contained formulation
+    whose target needs no external corpus); per-doc importance weight =
+    Σ over gram occurrences of log p̂_target(bucket) − log p̂_raw(bucket)
+    (Laplace-smoothed), and selection is the paper's Gumbel top-k —
+    sampling without replacement ∝ exp(weight) — with DETERMINISTIC
+    seeded noise: u = (md5-hash(seed#id) mod M + 0.5)/M, key = weight +
+    (−ln(−ln u)). Output the selected rows ``(id_col, dsir_score)``
+    ordered by the key.
+
+    Engine-portable (oracle-exact): hashing is the house 60-bit md5,
+    per-bucket log-ratios round to 10 dp before the per-doc sum (kills
+    libm 1-ulp drift between JVM and C), scores/keys round to 6 dp, ties
+    break on id. Gram-less docs score 0 and still compete via their
+    Gumbel noise — DSIR weights, not a quality gate, decide.
+
+    Scale shape: one T1-style hash-agg over (bucket) for the two
+    distributions (map-side combinable; the target flag rides the gram
+    rows as an int), a ≤``buckets``-row log-ratio table joined back to
+    the gram stream (AQE broadcasts it — ~1.5 MB at 2^16, never forced),
+    one per-doc sum, and a distributed top-``n_select``
+    (TakeOrderedAndProject — no global sort materialization). The only
+    crossJoin is the 1-row totals frame."""
+    from ..functions.text import word_ngrams_exploded
+    from .dedup import h60
+
+    tgt_col = target if target is not None else gopher_keep_expr(
+        F.col(text_col)
+    )
+    flags = df.select(
+        F.col(id_col).alias("id"), tgt_col.cast("int").alias("_tgt")
+    )
+    grams = word_ngrams_exploded(df, gram_n, text_col=text_col,
+                                 id_col=id_col)
+    bk = grams.select(
+        "id", F.pmod(h60(F.col("gram")), F.lit(buckets)).alias("bk")
+    ).join(flags, "id")
+    bc = bk.groupBy("bk").agg(
+        F.count(F.lit(1)).alias("rc"), F.sum("_tgt").alias("tc")
+    )
+    tot = bc.agg(F.sum("rc").alias("rt"), F.sum("tc").alias("tt"))
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "bk",
+        F.round(
+            F.log((F.col("tc") + F.lit(alpha))
+                  / (F.col("tt") + F.lit(alpha * buckets)))
+            - F.log((F.col("rc") + F.lit(alpha))
+                    / (F.col("rt") + F.lit(alpha * buckets))),
+            10,
+        ).alias("lrat"),
+    )
+    sc = (
+        bk.join(lr, "bk")
+        .groupBy("id")
+        .agg(F.round(F.sum("lrat"), 6).alias("dsir_score"))
+    )
+    allsc = (
+        df.select(F.col(id_col).alias("id"))
+        .join(sc, "id", "left")
+        .na.fill({"dsir_score": 0.0})
+    )
+    u = (
+        F.pmod(
+            h60(F.concat(F.lit(f"{seed}#"), F.col("id").cast("string"))),
+            F.lit(DSIR_GUMBEL_M),
+        ).cast("double") + F.lit(0.5)
+    ) / F.lit(float(DSIR_GUMBEL_M))
+    keyed = allsc.withColumn(
+        "_key", F.round(F.col("dsir_score") - F.log(-F.log(u)), 6)
+    )
+    return (
+        keyed.orderBy(F.desc("_key"), F.asc("id"))
+        .limit(n_select)
+        .select(F.col("id").alias(id_col), "dsir_score")
+    )

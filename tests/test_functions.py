@@ -1728,6 +1728,34 @@ def test_winnow_shared_spans_planted(spark):
     assert len(deltas_ad) >= 2
 
 
+def test_dsir_resample_prefers_target_like_docs(spark):
+    """DSIR (Xie et al. 2023): with the Gopher keep predicate as target,
+    docs built from the target family's vocabulary outrank salad docs
+    whose bigrams never appear in the target subset — even though BOTH
+    families are in the raw corpus. Deterministic across partitioning."""
+    from heliport_spark.operators.corpus import dsir_resample
+
+    # target-like: fluent 12-word sentences (pass Gopher: >=10 words,
+    # stopwords present); salad: same LENGTH (also pass/fail Gopher is
+    # irrelevant — the DISTRIBUTION drives the score) but from a disjoint
+    # rare-token vocabulary with no stopwords, so Gopher marks them
+    # non-target and their bigrams get negative log-ratios
+    rows = []
+    for i in range(30):
+        rows.append((i, f"the cat and the dog walked to the old town gate {i % 3}"))
+    for i in range(30, 60):
+        rows.append((i, f"zorblat quixfen vermblox kraggle znorp wibblet "
+                        f"drangle fexxo blun klap trizzet {i % 3}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sel = {r["doc_id"] for r in dsir_resample(docs, n_select=20).collect()}
+    assert sel <= set(range(30)), "a salad doc out-ranked the target family"
+    again = {
+        r["doc_id"]
+        for r in dsir_resample(docs.repartition(7), n_select=20).collect()
+    }
+    assert again == sel
+
+
 def test_remove_shared_spans_semantics(spark):
     """The span scrubber: overlapping/duplicate intervals merge before
     removal, spans at the very start/end truncate cleanly, the canonical
