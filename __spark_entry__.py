@@ -1584,6 +1584,7 @@ def _dsir_sql() -> str:
         DSIR_ALPHA,
         DSIR_BUCKETS,
         DSIR_GUMBEL_M,
+        DSIR_SEED,
         GOPHER_MAX_MEAN_WORD_LEN,
         GOPHER_MAX_WORDS,
         GOPHER_MIN_MEAN_WORD_LEN,
@@ -1633,7 +1634,7 @@ al AS (SELECT d.doc_id, coalesce(sc.dsir_score, 0.0) AS dsir_score
        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
 ky AS (SELECT doc_id, dsir_score,
               round(dsir_score - ln(-ln(
-                ((('0x' || substr(md5('42#' || doc_id::VARCHAR), 1, 15))::BIGINT
+                ((('0x' || substr(md5('{DSIR_SEED}#' || doc_id::VARCHAR), 1, 15))::BIGINT
                   % {M}) + 0.5) / {M}.0)), 6) AS k
        FROM al)
 SELECT doc_id, dsir_score FROM ky ORDER BY k DESC, doc_id LIMIT {DSIR_N}"""

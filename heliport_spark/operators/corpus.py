@@ -751,6 +751,7 @@ def length_stats(df: DataFrame, text_col: str = "text",
 DSIR_BUCKETS = 1 << 16   # hashed-bigram feature space (the paper uses 10^4)
 DSIR_ALPHA = 1.0         # Laplace smoothing per bucket
 DSIR_GUMBEL_M = 1_000_000  # uniform-grid resolution for the seeded Gumbel
+DSIR_SEED = 42             # ONE seed constant — generates both engines
 
 
 def dsir_resample(
@@ -762,7 +763,7 @@ def dsir_resample(
     gram_n: int = 2,
     buckets: int = DSIR_BUCKETS,
     alpha: float = DSIR_ALPHA,
-    seed: int = 42,
+    seed: int = DSIR_SEED,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
     — select ``n_select`` docs whose hashed word-``gram_n``-gram
@@ -805,6 +806,11 @@ def dsir_resample(
     bk = grams.select(
         "id", F.pmod(h60(F.col("gram")), F.lit(buckets)).alias("bk")
     ).join(flags, "id")
+    # the gram/bucket stream feeds BOTH the distribution agg (keyed bk)
+    # and the per-doc score join (keyed id) — different exchange keys, so
+    # ReusedExchange can't dedup the corpus-wide gram scan; materialize it
+    # once (the winnow_shared_spans fps contract — code-review r7 #2)
+    bk = bk.localCheckpoint(eager=True)
     bc = bk.groupBy("bk").agg(
         F.count(F.lit(1)).alias("rc"), F.sum("_tgt").alias("tc")
     )

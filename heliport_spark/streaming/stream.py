@@ -49,10 +49,13 @@ def start_pipeline_stream(
     checkpoint_dir: str,
     model_dir: "str | None" = None,
     trigger_seconds: int = 5,
+    with_classifier: bool = False,
 ):
     """Stream clips → decisions → partitioned parquet sink with exactly-once
-    file-sink semantics (checkpointed offsets + commit log)."""
-    out = streaming_quality_filter(clips_stream, model_dir=model_dir)
+    file-sink semantics (checkpointed offsets + commit log).
+    ``with_classifier`` forwards the trained-classifier DROP rule."""
+    out = streaming_quality_filter(clips_stream, model_dir=model_dir,
+                                   with_classifier=with_classifier)
     return (
         out.writeStream.format("parquet")
         .option("path", out_dir)

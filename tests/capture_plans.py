@@ -104,10 +104,6 @@ SECTIONS = [
      "trained quality classifier: exactly one ArrowEvalPython (scalar "
      "pandas UDF) fed by a pruned 2-column scan; the 1 MB weight table "
      "rides a broadcast variable, everything else is codegen"),
-    ("winnow_fingerprints",
-     "winnowing: codegen explode+substr -> md5 -> ONE running-frame "
-     "window min partitioned by id -> distinct; the id exchange is "
-     "reused by the window sort"),
     ("winnow_shared_spans",
      "shared-span extraction: the fingerprint table is materialized ONCE "
      "(eager localCheckpoint — the scans below read its blocks, not the "

@@ -59,37 +59,43 @@ def test_streaming_classifier_matches_batch(spark):
         ("clip-sqc-1",
          "the spam of spam the spam of spam the spam of spam the spam"),
     ]
+    import shutil
+
     clips = make_clips(spark, rows)
     base = _tf.mkdtemp(prefix="hs_qc_stream_")
-    clips.write.mode("overwrite").parquet(f"{base}/in")
-    stream = stream_clips_from_directory(spark, f"{base}/in")
-    out = streaming_quality_filter(stream, with_classifier=True)
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", f"{base}/out")
-        .option("checkpointLocation", f"{base}/ckpt")
-        .outputMode("append")
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        clips.write.mode("overwrite").parquet(f"{base}/in")
+        stream = stream_clips_from_directory(spark, f"{base}/in")
+        out = streaming_quality_filter(stream, with_classifier=True)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["clip_id"]: (r["keep"], round(r["qc_score"], 9))
+            for r in spark.read.parquet(f"{base}/out")
+            .select("clip_id", "keep", "qc_score")
+            .collect()
+        }
+        want = {
+            r["clip_id"]: (r["keep"], round(r["qc_score"], 9))
+            for r in quality_filter(clips, with_ft=False,
+                                    with_classifier=True)
+            .select("clip_id", "keep", "qc_score")
+            .collect()
+        }
+        assert got == want
+        assert got["clip-sqc-0"][0] is True
+        assert got["clip-sqc-1"][0] is False
     finally:
-        q.stop()
-    got = {
-        r["clip_id"]: (r["keep"], round(r["qc_score"], 9))
-        for r in spark.read.parquet(f"{base}/out")
-        .select("clip_id", "keep", "qc_score")
-        .collect()
-    }
-    want = {
-        r["clip_id"]: (r["keep"], round(r["qc_score"], 9))
-        for r in quality_filter(clips, with_ft=False, with_classifier=True)
-        .select("clip_id", "keep", "qc_score")
-        .collect()
-    }
-    assert got == want
-    assert got["clip-sqc-0"][0] is True
-    assert got["clip-sqc-1"][0] is False
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def test_streaming_stateful_dedup(spark):
