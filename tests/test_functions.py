@@ -1794,6 +1794,80 @@ def test_remove_shared_spans_semantics(spark):
     assert out[3]["text_clean"] == "untouched document"
 
 
+def test_remove_shared_spans_randomized_vs_python(spark):
+    """Differential test: 120 random docs × random (possibly overlapping,
+    duplicated, touching, start/end-hugging) interval lists, Spark output
+    ≡ a 10-line python reference scrubber on the normalized text."""
+    import re
+
+    rng = np.random.default_rng(77)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    docs, spans = [], []
+    for d in range(120):
+        n = int(rng.integers(3, 30))
+        text = " ".join(rng.choice(words, size=n))
+        if rng.random() < 0.3:  # exercise the normalizer
+            text = "  " + text.upper() + "  "
+        docs.append((d, text))
+        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        L = len(norm)
+        for _ in range(int(rng.integers(0, 5))):
+            off = int(rng.integers(1, max(2, L)))
+            ln = int(rng.integers(1, max(2, L - off + 2)))
+            spans.append((0, d, 1, off, ln, 2))
+            if rng.random() < 0.3:
+                spans.append((0, d, 1, off, ln, 2))  # duplicate
+    from heliport_spark.operators.dedup import remove_shared_spans
+
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    pdf = spark.createDataFrame(
+        spans, ["id_a", "id_b", "a_off", "b_off", "span_len", "n_fps"]
+    )
+    got = {r["doc_id"]: (r["text_clean"], r["n_spans"], r["chars_removed"])
+           for r in remove_shared_spans(sdf, pdf).collect()}
+
+    by_doc: dict = {}
+    for _, d, _, off, ln, _ in spans:
+        by_doc.setdefault(d, set()).add((off, off + ln))
+    for d, text in docs:
+        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        iv = sorted(by_doc.get(d, ()))
+        merged = []
+        for off, end in iv:
+            if merged and off <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], end)
+            else:
+                merged.append([off, end])
+        kept, prev = [], 1
+        for off, end in merged:
+            kept.append(norm[prev - 1:off - 1])
+            prev = end
+        kept.append(norm[prev - 1:])
+        expect = "".join(kept)
+        removed = sum(e - o for o, e in merged)
+        assert got[d] == (expect, len(merged), removed), f"doc {d}"
+
+
+def test_quality_scores_robust_on_arbitrary_text():
+    """The classifier serve path never crashes and stays in [0,1] on
+    arbitrary unicode / degenerate inputs."""
+    from heliport_spark.quality_train import (
+        load_quality_params,
+        quality_scores,
+    )
+
+    w, dw, b, _ = load_quality_params()
+    texts = [
+        "", " ", "\n\t ", None, "a", "🎉🎊✨" * 50, "ß" * 2000,
+        "\x00\x01", "日本語のテキストです", "x " * 5000,
+        "MiXeD CaSe WoRdS everywhere", "1234 5678 9012",
+    ]
+    s = quality_scores(texts, w, dw, b)
+    assert len(s) == len(texts)
+    assert ((s >= 0.0) & (s <= 1.0)).all()
+    assert s[0] == 0.0 and s[3] == 0.0  # empty/None score 0
+
+
 def test_cross_corpus_candidates_and_incremental_dedup(spark):
     """Two-corpus dedup: new docs duplicating a reference doc are flagged
     (and dropped by incremental_dedup); genuinely novel docs survive. The
