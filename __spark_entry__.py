@@ -38,7 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
     from heliport_spark.pipeline import quality_filter
     from heliport_spark.sources.clips import clips_from_documents
 
-    clips = clips_from_documents(spark, "/root/testdata/sf0.001")
+    # with_bytes=False: this projection never reads the PCM payload, and the
+    # synthesis is inside an opaque mapInPandas Catalyst can't prune (§4.1)
+    clips = clips_from_documents(spark, "/root/testdata/sf0.001",
+                                 with_bytes=False)
     out = quality_filter(clips)
     # stable projection (drop the binary payload for the smoke check)
     return out.select(
@@ -472,7 +475,12 @@ def _quality_filter_clips(spark, sf):
     from heliport_spark.pipeline import quality_filter
     from heliport_spark.sources.clips import clips_from_documents
 
-    clips = clips_from_documents(spark, sf)
+    # with_bytes=False: the selected columns never touch the PCM payload;
+    # without the flag the opaque mapInPandas synthesizes + Arrow-ships
+    # ~20 GB of audio at sf1.0 that Catalyst cannot prune (guide §4.1) —
+    # measured 15.2 s → the transcript-only cost for this query. dur_ms
+    # (which the rate rule reads) is bit-identical either way.
+    clips = clips_from_documents(spark, sf, with_bytes=False)
     return quality_filter(clips).select(
         "clip_id", "lang", "confidence", "keep", "scrubbed_text",
         "quality.scrub_spans",

@@ -121,7 +121,8 @@ def clips_from_documents(spark: SparkSession, sf_dir: str,
                          with_golden: bool = True,
                          replicate: int = 1,
                          max_pcm_ms: "int | None" = None,
-                         audio_style: str = "tone") -> DataFrame:
+                         audio_style: str = "tone",
+                         with_bytes: bool = True) -> DataFrame:
     """Derive a deterministic clips table from the driver's ``documents``
     parquet: transcript = documents.text (+ the golden/adversarial corpus
     appended), PCM synthesized per row. Distributed via mapInPandas — no
@@ -132,7 +133,18 @@ def clips_from_documents(spark: SparkSession, sf_dir: str,
     (dur_ms metadata stays consistent with the bytes); ``audio_style``
     picks the PCM recipe — "tone" (the F1 sine family) or "varied"
     (:func:`synth_pcm_varied`: per-id spectra + planted audio near-dups,
-    for queries whose semantics need acoustically distinct clips)."""
+    for queries whose semantics need acoustically distinct clips).
+
+    ``with_bytes=False`` skips the PCM synthesis and emits ``bytes`` NULL —
+    for consumers that never read the audio payload (e.g. the transcript
+    quality-filter queries). The synthesis lives inside an opaque
+    ``mapInPandas``, so Catalyst cannot column-prune it away on its own
+    (optimization guide §4.1): a caller that projects ``bytes`` out would
+    still pay full waveform synthesis plus the Arrow transfer of the PCM
+    (~20 GB at sf1.0) without this flag. ``dur_ms`` stays BIT-IDENTICAL to
+    the with_bytes path: it is derived from the same integer sample-count
+    arithmetic (n = sr*dur//1000; dur_ms = n*1000//sr) the encoder's byte
+    length would produce."""
     if audio_style not in ("tone", "varied"):
         raise ValueError(f"unknown audio_style {audio_style!r}")
     synth_fn = synth_pcm_varied if audio_style == "varied" else synth_pcm
@@ -189,10 +201,17 @@ def clips_from_documents(spark: SparkSession, sf_dir: str,
                         dur = 100_000 if d % 2 == 0 else 200
                     if max_pcm_ms is not None:
                         dur = min(dur, max_pcm_ms)
-                    raw = synth_fn(d, sr, dur_ms=dur)
+                    if with_bytes:
+                        raw = synth_fn(d, sr, dur_ms=dur)
+                        bs.append(raw)
+                        n_samples = len(raw) // 2
+                    else:
+                        bs.append(None)
+                        # same integer arithmetic as the encoder's length:
+                        # synth emits exactly sr*dur//1000 s16 samples
+                        n_samples = sr * dur // 1000
                     srs.append(sr)
-                    bs.append(raw)
-                    dms.append(len(raw) // 2 * 1000 // sr)
+                    dms.append(n_samples * 1000 // sr)
                 out["bytes"] = bs
                 out["sr_hz"] = np.asarray(srs, np.int32)
                 out["dur_ms"] = np.asarray(dms, np.int32)
