@@ -160,7 +160,11 @@ def _word_counts(spark, sf):
 def _char_trigrams(spark, sf):
     from heliport_spark.operators.train import count_char_ngrams
 
-    d = _t(spark, sf, "documents")
+    # documents is one small parquet file (≤2 input splits even at sf1.0) —
+    # without the repartition the explode+partial-agg stage, the expensive
+    # part, runs on ≤2 cores (guide §2.5 input skew; measured 8.1 s → sub-
+    # second at sf1.0 on local[32])
+    d = _docs_repart(spark, sf)
     return (
         count_char_ngrams(d, 3, "text")
         .orderBy(F.desc("cnt"), F.asc("gram"))

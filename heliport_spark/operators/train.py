@@ -129,16 +129,28 @@ def count_words(df: DataFrame, text_col: str = "text",
 
 def count_char_ngrams(df: DataFrame, n: int, text_col: str = "text",
                       group_cols: "list[str]" = ()) -> DataFrame:
-    """T1 (order=n): explode char n-grams of every space-padded word."""
+    """T1 (order=n): explode char n-grams of every space-padded word.
+
+    The gram fan-out is the codegen'd ``explode(sequence) + substr(col,
+    col)`` shape, not ``char_ngrams_expr``'s transform-HOF — higher-order
+    functions are interpreted per element (same finding as dedup.py's
+    ``_shingle_rows``, where the HOF form measured 3× slower). Words with
+    padded length < n emit no index row, matching the HOF form's empty
+    array under explode — row-identical output."""
     cols = [F.col(c) for c in group_cols]
     words = df.select(
         *cols, F.explode(words_expr(F.col(text_col))).alias("w")
     )
-    return (
-        words.select(*cols, F.explode(char_ngrams_expr(F.col("w"), n)).alias("gram"))
-        .groupBy(*cols, "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    padded = words.select(
+        *cols, F.concat(F.lit(" "), F.col("w"), F.lit(" ")).alias("pw")
+    ).filter(F.length("pw") >= n)
+    grams = padded.select(
+        *cols, "pw",
+        F.explode(
+            F.sequence(F.lit(1), F.length("pw") - F.lit(n - 1))
+        ).alias("i"),
+    ).select(*cols, F.col("pw").substr(F.col("i"), F.lit(n)).alias("gram"))
+    return grams.groupBy(*cols, "gram").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def top_k(counts: DataFrame, k: int, partition_cols: "list[str]" = ()) -> DataFrame:
