@@ -332,8 +332,12 @@ def _dedup_incremental(spark, sf):
 def _ann_bruteforce(spark, sf):
     from heliport_spark.operators.similarity import brute_force_topk
 
-    e = _t(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") < 10)
+    # embeddings is one small parquet file (≤2 input splits even at sf1.0);
+    # without the repartition the whole O(n·q) pair scoring runs on ≤2
+    # cores (guide §2.5 — same single-split trap as char_trigrams)
+    par = spark.sparkContext.defaultParallelism
+    e = _t(spark, sf, "embeddings").repartition(par, "vec_id")
+    q = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 10)
     return brute_force_topk(e, q, k=5)
 
 

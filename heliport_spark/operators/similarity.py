@@ -48,16 +48,34 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """For each query vector: top-k corpus neighbors by cosine (excluding
-    self). Queries are broadcast; output (query_id, neighbor_id, sim@4dp)."""
+    self). Queries are broadcast; output (query_id, neighbor_id, sim@4dp).
+
+    Norms are hoisted OUT of the pair loop: each side's ||v|| is computed
+    once per row before the join instead of once per (query, neighbor)
+    pair — the aggregate() norm is an interpreted higher-order function,
+    so per-pair evaluation was 2/3 of the join-stage work (guide §4.1).
+    Bit-exact: same expression over the same input, and the final
+    ``dot / (qnorm * cnorm)`` keeps cosine_expr's operand order."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
     )
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    )
     joined = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = joined.withColumn(
-        "sim", F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 4)
+        "sim",
+        F.round(
+            F.try_divide(
+                _dot(F.col("qvec"), F.col("cvec")),
+                F.col("qnorm") * F.col("cnorm"),
+            ),
+            4,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
