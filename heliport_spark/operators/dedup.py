@@ -295,9 +295,20 @@ def _band_sigs(mh: DataFrame, bands: int) -> DataFrame:
 def _band_candidates(mh: DataFrame, bands: int,
                      max_bucket: "int | None" = MAX_BUCKET) -> DataFrame:
     """(id_a, id_b) candidate pairs from a wide minhash frame: band-sig
-    explode, then the banded equi-self-join with the hot-bucket cap."""
+    explode, then the banded equi-self-join with the hot-bucket cap.
+
+    The (id, band, sig) frame is materialized ONCE (eager localCheckpoint,
+    the winnow_shared_spans pattern): capped_bucket_pairs consumes it three
+    times — the self-join's stream side, its BROADCAST build side, and the
+    overflow branch — and the broadcast subtree cannot reuse a hash-
+    partitioned exchange, so without the checkpoint the full upstream
+    shingle-explode → md5 → 12-way min-aggregate pipeline executed three
+    times per run (guide §3.3; measured in the sf1.0 plan/bench:
+    dedup_minhash_lsh 3.7 s → 1.5 s). The checkpointed frame is id+band+sig
+    metadata (~50 B/row), far smaller than the corpus it derives from."""
+    sigs = _band_sigs(mh, bands).localCheckpoint(eager=True)
     return (
-        capped_bucket_pairs(_band_sigs(mh, bands), ["band", "sig"], max_bucket)
+        capped_bucket_pairs(sigs, ["band", "sig"], max_bucket)
         .select("id_a", "id_b")
         .distinct()
     )
