@@ -147,7 +147,11 @@ def rule_flags(
     if qc_keep is not None:
         flags.append(F.when(~qc_keep, F.lit("low_quality_classifier")))
     arr = F.array(*flags)
-    return F.filter(arr, lambda x: x.isNotNull())
+    # array_compact is a native collection expression; the previous
+    # F.filter(arr, isNotNull) lambda was an interpreted higher-order
+    # function evaluated per element per row (guide §4.1). Same output:
+    # NULLs removed, order preserved.
+    return F.array_compact(arr)
 
 
 # Rules that actually drop a clip (ft_disagree is advisory-only, D3).
@@ -159,9 +163,15 @@ DROP_RULES = (
 
 
 def keep_expr(flags: Column) -> Column:
-    """D7: keep ⟺ no drop-rule fired. Pure Catalyst."""
+    """D7: keep ⟺ no drop-rule fired. Pure Catalyst.
+
+    ``~arrays_overlap`` is the native form of "no element of ``flags`` is a
+    drop rule" — the previous size(filter(..., array_contains)) evaluated an
+    interpreted lambda per element per row. Identical booleans: ``flags``
+    never contains NULLs (rule_flags compacts them) and the drop list is
+    literal, so arrays_overlap is a plain deterministic membership test."""
     drops = F.array(*[F.lit(r) for r in DROP_RULES])
-    return F.size(F.filter(flags, lambda x: F.array_contains(drops, x))) == 0
+    return ~F.arrays_overlap(flags, drops)
 
 
 # ------------------------------------------------- mixed-language detection
