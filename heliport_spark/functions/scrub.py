@@ -94,20 +94,36 @@ def scrub_expr(col: "Column | str") -> "tuple[Column, Column]":
 
 
 def scrub_apply(df, col: str, text_out: str = "scrubbed_text",
-                spans_out: str = "scrub_spans"):
+                spans_out: str = "scrub_spans",
+                gate_extra: "Column | None" = None):
     """Hot-path form: add (scrubbed, spans) columns with the gate evaluated
     ONCE per row. The gate goes into its own projection; because it is a
     non-cheap expression referenced twice downstream, CollapseProject keeps
     that projection instead of inlining the gate into both output columns
     (which is what happens to the inline `scrub_expr` twins — measured 2×
     the gate cost there). Both projections stay in one whole-stage-codegen
-    span, so this costs no extra pass over the data."""
+    span, so this costs no extra pass over the data.
+
+    ``gate_extra`` optionally replaces the gate's three rlike probes
+    (phone/ssn/toxicity) with a precomputed candidate column (textstats.py's
+    vectorized over-approximation with exact recall): the gate becomes the
+    three cheap ``contains`` literals OR the candidate. Any over-
+    approximation of "some pattern matches" yields identical output — the
+    replacement chain is the identity and every count is 0 on a clean row
+    (see scrub_gate) — while clean rows skip all three regex scans."""
     c0 = F.col(col)
     c, spans = _chain(c0)
     tmp = "__scrub_dirty"
     dirty = F.col(tmp)
+    if gate_extra is not None:
+        gate = (
+            c0.contains("@") | c0.contains("http") | c0.contains("www.")
+            | gate_extra
+        )
+    else:
+        gate = scrub_gate(c0)
     return (
-        df.withColumn(tmp, scrub_gate(c0))
+        df.withColumn(tmp, gate)
         .withColumn(text_out, F.when(dirty, c).otherwise(c0))
         .withColumn(
             spans_out,

@@ -68,6 +68,7 @@ def identify_df(
     prefix: str = "",
     langs: "list[str] | None" = None,
     with_word_nll: bool = False,
+    with_text_stats: bool = False,
 ) -> DataFrame:
     """Append langid columns: ``lang``, ``score``, ``raw_score``, ``cjk_pct``
     (+ ``ft_lang``, ``ft_prob`` when ``with_ft``; + ``word_nll`` — the
@@ -80,6 +81,13 @@ def identify_df(
     ``langs`` restricts scoring to a language subset (reference T8 /
     ``relevant_langs``, languagemodel.rs:62-83 — the DataFrame twin of the
     CLI ``-l``): each worker loads the posting-filtered model once.
+
+    ``with_text_stats`` additionally emits the quality-rule text statistics
+    (``digit_ratio``, ``alpha_ratio``, ``rep_cand``, ``scrub_cand`` — see
+    heliport_spark/textstats.py for the exactness contract): the text is
+    already crossing the Arrow boundary for scoring, so these per-character
+    counts ride in the SAME single UDF pass as one vectorized numpy sweep
+    instead of a stack of JVM regex scans (guide §4.2).
 
     Implementation: a *scalar* pandas UDF returning a struct — only the text
     column crosses the JVM↔Python Arrow boundary. (An earlier mapInPandas
@@ -101,6 +109,15 @@ def identify_df(
         ]
     if with_word_nll:
         fields += [StructField("word_nll", FloatType())]
+    if with_text_stats:
+        from pyspark.sql.types import BooleanType, DoubleType
+
+        fields += [
+            StructField("digit_ratio", DoubleType()),
+            StructField("alpha_ratio", DoubleType()),
+            StructField("rep_cand", BooleanType()),
+            StructField("scrub_cand", BooleanType()),
+        ]
     struct_type = StructType(fields)
 
     # `if langs` would collapse [] into None (full model) — the empty
@@ -124,6 +141,14 @@ def identify_df(
             out["ft_prob"] = ft_prob
         if with_word_nll:
             out["word_nll"] = res[4]
+        if with_text_stats:
+            from ..textstats import text_stats_batch
+
+            dr, ar, rc, sc = text_stats_batch(tl)
+            out["digit_ratio"] = dr
+            out["alpha_ratio"] = ar
+            out["rep_cand"] = rc
+            out["scrub_cand"] = sc
         return out
 
     tmp = "_heli_" + prefix

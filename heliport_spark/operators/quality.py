@@ -94,6 +94,9 @@ def rule_flags(
     cjk_pct: "Column | None" = None,
     word_sparse_langs: "tuple[str, ...] | None" = None,
     qc_keep: "Column | None" = None,
+    digit_ratio: "Column | None" = None,
+    alpha_ratio: "Column | None" = None,
+    rep_cand: "Column | None" = None,
 ) -> Column:
     """array<string> of fired heuristic rules (D5). Empty array = clean.
 
@@ -107,16 +110,30 @@ def rule_flags(
     ``qc_keep`` (the trained quality classifier's keep column from
     :func:`classifier_score_df`) adds the ``low_quality_classifier`` rule
     when false — the learned fluency signal next to the heuristic
-    families (opt-in via ``quality_filter(with_classifier=True)``)."""
+    families (opt-in via ``quality_filter(with_classifier=True)``).
+
+    ``digit_ratio`` / ``alpha_ratio`` optionally supply precomputed ratio
+    columns (bit-identical twins from textstats.py's vectorized pass) in
+    place of the per-row JVM regex counts; ``rep_cand`` optionally supplies
+    the repetition PRE-FILTER (an over-approximation with exact recall —
+    textstats.py docstring) so the expensive backreference regex only runs
+    on candidate rows. All three default to the original pure-Catalyst
+    expressions."""
     nc = T.n_chars(text)
+    dr = digit_ratio if digit_ratio is not None else T.digit_ratio(text)
+    ar = alpha_ratio if alpha_ratio is not None else T.alpha_ratio(text)
+    rep = T.repetition_ratio(text, MAX_REPETITION_RUN) > 0
+    if rep_cand is not None:
+        # candidate false ⟹ the regex cannot match (proven recall), so the
+        # when() gate skips the backreference scan on ~all rows; when() is
+        # required (not &) to guarantee the regex is not evaluated
+        rep = F.when(rep_cand, rep).otherwise(F.lit(False))
     flags = [
         F.when(nc < MIN_CHARS, F.lit("too_short")),
         F.when(nc > MAX_CHARS, F.lit("too_long")),
-        F.when(T.digit_ratio(text) > MAX_DIGIT_RATIO, F.lit("high_digit")),
-        F.when(T.alpha_ratio(text) < MIN_ALPHA_RATIO, F.lit("low_alpha")),
-        F.when(
-            T.repetition_ratio(text, MAX_REPETITION_RUN) > 0, F.lit("repetition")
-        ),
+        F.when(dr > MAX_DIGIT_RATIO, F.lit("high_digit")),
+        F.when(ar < MIN_ALPHA_RATIO, F.lit("low_alpha")),
+        F.when(rep, F.lit("repetition")),
         F.when(lang.isin("und", "zxx"), F.lit("lang_undetermined")),
         F.when(ppl > MAX_PPL, F.lit("high_ppl")),
     ]

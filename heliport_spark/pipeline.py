@@ -82,9 +82,14 @@ def quality_filter(
     predates the classifier, and enabling it requires the qc artifact in
     ``model_dir``. One more scalar-pandas-UDF pass shipping only the text
     column (stateless — works identically on streaming frames)."""
+    # with_text_stats: the per-char rule statistics (digit/alpha ratios,
+    # repetition + scrub-gate candidates) ride in the SAME Arrow pass as
+    # the scorer — one vectorized numpy sweep replaces the JVM regex stack
+    # that measured larger than the scorer itself at sf1.0 (textstats.py;
+    # guide §4.2). Bit-compatible by the textstats exactness contract.
     scored = identify_df(
         df, text_col=text_col, model_dir=model_dir, with_ft=with_ft,
-        exact=exact, with_word_nll=True,
+        exact=exact, with_word_nll=True, with_text_stats=True,
     )
     if with_classifier:
         from .operators.quality import classifier_score_df
@@ -103,11 +108,15 @@ def quality_filter(
         cjk_pct=F.col("cjk_pct"),
         word_sparse_langs=sparse_word_langs(model_dir),
         qc_keep=F.col("qc_keep") if with_classifier else None,
+        digit_ratio=F.col("digit_ratio"),
+        alpha_ratio=F.col("alpha_ratio"),
+        rep_cand=F.col("rep_cand"),
     )
     # scrub_apply (not the inline scrub_expr twins): evaluates the dirty
     # gate once per row — measured 5× on the clean-heavy 800k-clip bench
     out = (
-        scrub_apply(scored.withColumn("ppl", ppl), text_col)
+        scrub_apply(scored.withColumn("ppl", ppl), text_col,
+                    gate_extra=F.col("scrub_cand"))
         .withColumn("rule_flags", flags)
     )
     out = out.withColumn("keep", keep_expr(F.col("rule_flags")))
@@ -144,7 +153,8 @@ def quality_filter(
         ),
     )
     drop_cols = ["raw_score", "ppl", "word_nll", "scrub_spans", "rule_flags",
-                 "cjk_pct"]
+                 "cjk_pct", "digit_ratio", "alpha_ratio", "rep_cand",
+                 "scrub_cand"]
     if with_ft:
         drop_cols += ["ft_lang", "ft_prob"]
     if with_classifier:
