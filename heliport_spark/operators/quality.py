@@ -84,7 +84,7 @@ def perplexity(raw_score: Column) -> Column:
     return F.pow(F.lit(10.0), raw_score.cast("double")).alias("ppl")
 
 
-def rule_flags(
+def rule_conditions(
     text: Column,
     lang: Column,
     ppl: Column,
@@ -97,8 +97,8 @@ def rule_flags(
     digit_ratio: "Column | None" = None,
     alpha_ratio: "Column | None" = None,
     rep_cand: "Column | None" = None,
-) -> Column:
-    """array<string> of fired heuristic rules (D5). Empty array = clean.
+) -> "list[tuple[str, Column]]":
+    """The heuristic rule conditions (D5) as (name, fired) pairs.
 
     ``word_ppl`` (10^word_nll from the independent word-LM, see MAX_WORD_NLL
     above) adds the ``high_word_ppl`` rule — the perplexity signal that can
@@ -118,7 +118,13 @@ def rule_flags(
     the repetition PRE-FILTER (an over-approximation with exact recall —
     textstats.py docstring) so the expensive backreference regex only runs
     on candidate rows. All three default to the original pure-Catalyst
-    expressions."""
+    expressions.
+
+    Returns the ordered (rule_name, fired_condition) list — the shared
+    source for BOTH :func:`flags_from_conditions` (the array column) and
+    :func:`keep_from_conditions` (the boolean), so a consumer that only
+    reads ``keep`` never pays for building the string array (Catalyst
+    prunes the unreferenced flags projection)."""
     nc = T.n_chars(text)
     dr = digit_ratio if digit_ratio is not None else T.digit_ratio(text)
     ar = alpha_ratio if alpha_ratio is not None else T.alpha_ratio(text)
@@ -128,47 +134,90 @@ def rule_flags(
         # when() gate skips the backreference scan on ~all rows; when() is
         # required (not &) to guarantee the regex is not evaluated
         rep = F.when(rep_cand, rep).otherwise(F.lit(False))
-    flags = [
-        F.when(nc < MIN_CHARS, F.lit("too_short")),
-        F.when(nc > MAX_CHARS, F.lit("too_long")),
-        F.when(dr > MAX_DIGIT_RATIO, F.lit("high_digit")),
-        F.when(ar < MIN_ALPHA_RATIO, F.lit("low_alpha")),
-        F.when(rep, F.lit("repetition")),
-        F.when(lang.isin("und", "zxx"), F.lit("lang_undetermined")),
-        F.when(ppl > MAX_PPL, F.lit("high_ppl")),
+    conds = [
+        ("too_short", nc < MIN_CHARS),
+        ("too_long", nc > MAX_CHARS),
+        ("high_digit", dr > MAX_DIGIT_RATIO),
+        ("low_alpha", ar < MIN_ALPHA_RATIO),
+        ("repetition", rep),
+        ("lang_undetermined", lang.isin("und", "zxx")),
+        ("high_ppl", ppl > MAX_PPL),
     ]
     if dur_ms is not None:
         cps = nc.cast("double") / (dur_ms.cast("double") / 1000.0)
-        flags.append(
-            F.when(
-                (dur_ms > 0)
-                & ((cps < MIN_CHARS_PER_SEC) | (cps > MAX_CHARS_PER_SEC)),
-                F.lit("rate_anomaly"),
-            )
-        )
+        conds.append((
+            "rate_anomaly",
+            (dur_ms > 0)
+            & ((cps < MIN_CHARS_PER_SEC) | (cps > MAX_CHARS_PER_SEC)),
+        ))
     if ft_lang is not None:
-        flags.append(
-            F.when(
-                (~lang.isin("und", "zxx")) & ft_lang.isNotNull()
-                & (ft_lang != lang),
-                F.lit("ft_disagree"),
-            )
-        )
+        conds.append((
+            "ft_disagree",
+            (~lang.isin("und", "zxx")) & ft_lang.isNotNull()
+            & (ft_lang != lang),
+        ))
     if word_ppl is not None:
         cond = word_ppl > MAX_WORD_PPL
         if cjk_pct is not None:
             cond = cond & (cjk_pct <= MAX_WORD_CJK_PCT)
         if word_sparse_langs:
             cond = cond & ~lang.isin(*word_sparse_langs)
-        flags.append(F.when(cond, F.lit("high_word_ppl")))
+        conds.append(("high_word_ppl", cond))
     if qc_keep is not None:
-        flags.append(F.when(~qc_keep, F.lit("low_quality_classifier")))
-    arr = F.array(*flags)
-    # array_compact is a native collection expression; the previous
-    # F.filter(arr, isNotNull) lambda was an interpreted higher-order
-    # function evaluated per element per row (guide §4.1). Same output:
-    # NULLs removed, order preserved.
-    return F.array_compact(arr)
+        conds.append(("low_quality_classifier", ~qc_keep))
+    return conds
+
+
+def flags_from_conditions(conds: "list[tuple[str, Column]]") -> Column:
+    """array<string> of fired rules from :func:`rule_conditions` output.
+    array_compact is a native collection expression; the previous
+    F.filter(arr, isNotNull) lambda was an interpreted higher-order
+    function evaluated per element per row (guide §4.1). Same output:
+    NULLs removed, order preserved."""
+    return F.array_compact(
+        F.array(*[F.when(c, F.lit(name)) for name, c in conds])
+    )
+
+
+def keep_from_conditions(conds: "list[tuple[str, Column]]") -> Column:
+    """keep ⟺ no DROP rule condition fired, computed DIRECTLY from the
+    conditions instead of via the flags array — identical to
+    ``keep_expr(flags_from_conditions(conds))`` (a drop flag is present iff
+    its condition is TRUE; NULL conditions emit no flag, hence the
+    coalesce), but independent of the array column, so consumers that never
+    read ``rule_flags`` (the flagship bench agg, the pipeline counters)
+    let Catalyst prune the whole string-array construction."""
+    fired = None
+    for name, c in conds:
+        if name not in DROP_RULES:
+            continue
+        cb = F.coalesce(c, F.lit(False))
+        fired = cb if fired is None else (fired | cb)
+    return ~fired if fired is not None else F.lit(True)
+
+
+def rule_flags(
+    text: Column,
+    lang: Column,
+    ppl: Column,
+    dur_ms: "Column | None" = None,
+    ft_lang: "Column | None" = None,
+    word_ppl: "Column | None" = None,
+    cjk_pct: "Column | None" = None,
+    word_sparse_langs: "tuple[str, ...] | None" = None,
+    qc_keep: "Column | None" = None,
+    digit_ratio: "Column | None" = None,
+    alpha_ratio: "Column | None" = None,
+    rep_cand: "Column | None" = None,
+) -> Column:
+    """array<string> of fired heuristic rules (D5) — the original public
+    form; see :func:`rule_conditions` for the argument docs."""
+    return flags_from_conditions(rule_conditions(
+        text, lang, ppl, dur_ms=dur_ms, ft_lang=ft_lang, word_ppl=word_ppl,
+        cjk_pct=cjk_pct, word_sparse_langs=word_sparse_langs,
+        qc_keep=qc_keep, digit_ratio=digit_ratio, alpha_ratio=alpha_ratio,
+        rep_cand=rep_cand,
+    ))
 
 
 # Rules that actually drop a clip (ft_disagree is advisory-only, D3).

@@ -33,9 +33,10 @@ from pyspark.sql import functions as F
 from .functions.scrub import scrub_apply
 from .operators.identify import identify_df
 from .operators.quality import (
-    keep_expr,
+    flags_from_conditions,
+    keep_from_conditions,
     perplexity,
-    rule_flags,
+    rule_conditions,
     sparse_word_langs,
 )
 from .sources.manifest import TableManifest
@@ -98,7 +99,7 @@ def quality_filter(
                                      model_dir=model_dir)
     ppl = perplexity(F.col("raw_score"))
     word_ppl = F.pow(F.lit(10.0), F.col("word_nll").cast("double"))
-    flags = rule_flags(
+    conds = rule_conditions(
         F.col(text_col),
         F.col("lang"),
         ppl,
@@ -113,13 +114,18 @@ def quality_filter(
         rep_cand=F.col("rep_cand"),
     )
     # scrub_apply (not the inline scrub_expr twins): evaluates the dirty
-    # gate once per row — measured 5× on the clean-heavy 800k-clip bench
+    # gate once per row — measured 5× on the clean-heavy 800k-clip bench.
+    # keep is derived DIRECTLY from the rule conditions (not from the
+    # rule_flags array), so consumers that never read quality.rule_flags —
+    # the flagship bench agg, the pipeline counters — let Catalyst prune
+    # the per-row string-array construction entirely; consumers that do
+    # read it get the identical array (keep_from_conditions docstring).
     out = (
         scrub_apply(scored.withColumn("ppl", ppl), text_col,
                     gate_extra=F.col("scrub_cand"))
-        .withColumn("rule_flags", flags)
+        .withColumn("rule_flags", flags_from_conditions(conds))
     )
-    out = out.withColumn("keep", keep_expr(F.col("rule_flags")))
+    out = out.withColumn("keep", keep_from_conditions(conds))
     if with_signal_gate:
         from .functions.audio import audio_features_df, audio_signal_flags
 
