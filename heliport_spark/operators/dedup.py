@@ -949,34 +949,40 @@ def simhash(df: DataFrame, text_col: str = "text",
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
     wh = words.withColumn("h", h60(F.col("w")))
-    one = F.lit(1).cast("bigint")
+    # The pack/sig expressions are built as SQL strings parsed server-side
+    # in ONE call each (F.expr): the previous Column-operator construction
+    # issued ~1,000 py4j round-trips (20 packs × 3 lanes × ~6 ops + 60 sig
+    # terms × ~8 ops) and measured ~1.0 s of DRIVER time per query build —
+    # scale-invariant and larger than the query's whole execution at sf1.0.
+    # The parsed expressions are operator-for-operator identical
+    # (shiftright/&/shiftleft/sum, CASE WHEN cnt*2 > n), so signatures stay
+    # bit-exact (oracle-checked).
     npacks = -(-bits // SIMHASH_LANES)
     packs = []
     for k in range(npacks):
-        lanes = None
+        lane_terms = []
         for lane in range(SIMHASH_LANES):
             j = k * SIMHASH_LANES + lane
             if j >= bits:
                 break
-            term = F.shiftright(F.col("h"), j).bitwiseAND(one)
+            term = f"(shiftright(h, {j}) & 1L)"
             if lane:
-                term = F.shiftleft(term, SIMHASH_LANE_BITS * lane)
-            lanes = term if lanes is None else lanes + term
-        packs.append(F.sum(lanes).alias(f"p{k}"))
+                term = f"shiftleft({term}, {SIMHASH_LANE_BITS * lane})"
+            lane_terms.append(term)
+        packs.append(F.expr(f"sum({' + '.join(lane_terms)})").alias(f"p{k}"))
     # single shuffle: the map-side partial agg already reduces each map
     # partition to one 21-bigint buffer per id — a (id,word)-pre-agg variant
     # was A/B'd and is a wash here while adding a second exchange.
     sums = wh.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packs)
-    lane_mask = F.lit((1 << SIMHASH_LANE_BITS) - 1).cast("bigint")
-    sig = F.lit(0).cast("bigint")
+    lane_mask = (1 << SIMHASH_LANE_BITS) - 1
+    sig_terms = []
     for j in range(bits):
         k, lane = divmod(j, SIMHASH_LANES)
-        cnt = F.shiftright(F.col(f"p{k}"), SIMHASH_LANE_BITS * lane).bitwiseAND(
-            lane_mask
+        cnt = f"(shiftright(p{k}, {SIMHASH_LANE_BITS * lane}) & {lane_mask}L)"
+        sig_terms.append(
+            f"(CASE WHEN {cnt} * 2 > n THEN {1 << j}L ELSE 0L END)"
         )
-        sig = sig + F.when(
-            cnt * 2 > F.col("n"), F.lit(1 << j).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
+    sig = F.expr("CAST(0 AS BIGINT) + " + " + ".join(sig_terms))
     # lane-overflow guard: a doc with ≥2^21 words would carry a lane into
     # its neighbour and yield a silently-wrong signature — fail loudly
     # instead (evaluated once per doc row, post-aggregate: free)
