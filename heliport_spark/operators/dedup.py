@@ -147,8 +147,13 @@ def _minhash_wide(df: DataFrame, text_col: str, id_col: str,
     sh = _shingle_rows(df, text_col, id_col, n_shingle).withColumn(
         "h", h60(F.col("sh")) % F.lit(MERSENNE_P)
     )
+    # F.expr: one server-side parse per aggregate instead of ~8 py4j
+    # Column-operator round-trips each (same driver-build finding as
+    # simhash — the Column form measured ~0.5 s of scale-invariant driver
+    # time); the parsed (a*h + b) % p is operator-identical, minhash
+    # values stay bit-exact (oracle-checked)
     aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+        F.expr(f"min(({a}L * h + {b}L) % {MERSENNE_P}L)").alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS)
     ]
     return sh.groupBy("id").agg(*aggs)
