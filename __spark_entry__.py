@@ -93,8 +93,14 @@ def _region_revenue(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
+    # orders is a FACT-sized side (1.5M rows at sf1.0, corpus-scaled):
+    # auto-broadcast picked it under the 64 MB file-size estimate, paying a
+    # single-threaded driver hash-relation build (measured 1.73 → 1.14 s
+    # with the hint at sf1.0, guide §3.1); at 100 TB orders could never
+    # broadcast, so shuffle-hash is also the scale-honest strategy. The
+    # dimension joins below stay explicit broadcasts.
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
