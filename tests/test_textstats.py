@@ -45,7 +45,8 @@ EDGE_TEXTS = [
 def _fuzz_texts(n: int = 400, seed: int = 8) -> "list[str]":
     rng = random.Random(seed)
     vocab = ["spam", "Spam", "ab", "a1", "x-y", "123", "45-67", "(55)",
-             "你好", "é", "badword", "value", "w.rd", "+1", "...", "##"]
+             "你好", "é", "badword", "value", "w.rd", "+1", "...", "##",
+             "spa", "am", "spamX", "Xspam", "spam-", "-spam", "SPAM!"]
     out = []
     for _ in range(n):
         k = rng.randint(0, 14)
