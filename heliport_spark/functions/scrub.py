@@ -64,7 +64,14 @@ def scrub_gate(c0: Column) -> Column:
 
 def _chain(c0: Column) -> "tuple[Column, Column]":
     """The sequential scrub chain: pattern i counted on the text as it
-    exists after patterns 0..i-1, then replaced."""
+    exists after patterns 0..i-1, then replaced.
+
+    Codegen note: with BOTH chain columns in one whole-stage-codegen'd
+    projection the generated method exceeds HotSpot's 8,000-byte JIT limit
+    and the whole stage ran interpreted (2.17 s for a gated-clean scrub
+    pass at sf1.0 vs 0.84 s per column alone) — fixed globally by
+    ``spark.sql.codegen.hugeMethodLimit`` in plans.get_spark, which falls
+    back to per-operator codegen for oversized stages."""
     c = c0
     spans = F.lit(0)
     for _name, pat in ALL_PATTERNS:

@@ -50,6 +50,15 @@ def get_spark(
         # audio rows carry ~0.1-2 MB binary PCM: the default 4096-row
         # vectorized-reader batch would buffer gigabytes per column
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        # HotSpot refuses to JIT-compile methods over 8,000 bytecode bytes
+        # (DontCompileHugeMethods): a whole-stage-codegen'd projection
+        # holding the full scrub/rule expression stack generated one such
+        # method and the ENTIRE stage ran interpreted (2.4× the per-row
+        # cost — measured on the flagship pipeline's scrub projection:
+        # 2.17 s vs 0.92 s at sf1.0). Capping at the JIT limit makes Spark
+        # fall back to per-operator codegen for oversized stages, which
+        # JIT-compiles. JVM-property-derived, not a cluster-size tunable.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -131,6 +131,22 @@ def test_letter_table_matches_jvm_sampled(spark):
     assert not bad, f"letter table drift vs JVM: {bad[:10]}"
 
 
+def test_scrub_apply_equals_scrub_expr(spark):
+    """scrub_apply (gated, wrapped-pattern spans twin) ≡ the inline
+    scrub_expr chain on every edge/fuzz row — pins that the (?:...)
+    wrapping and the gate are value-neutral."""
+    from heliport_spark.functions.scrub import scrub_apply, scrub_expr
+
+    rows = [(i, t) for i, t in enumerate(ALL_TEXTS)]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    text_e, spans_e = scrub_expr("t")
+    ref = df.select("i", text_e.alias("st"), spans_e.alias("ss"))
+    got = scrub_apply(df, "t", text_out="st", spans_out="ss").select(
+        "i", "st", "ss"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
 def test_pipeline_equals_pure_jvm_path(spark):
     """End-to-end: quality_filter (textstats path) ≡ the pure-JVM expression
     path on the derived clips table + the edge rows above."""
