@@ -116,6 +116,31 @@ def lsh_bucket_expr(vec, planes: np.ndarray):
     return key
 
 
+def lsh_bucket_sql(vec_sql: str, planes: np.ndarray):
+    """``lsh_bucket_expr`` built as ONE server-side-parsed SQL string
+    (F.expr) over the backtick-quoted column ``vec_sql``. The Column form
+    issues n_planes×dim ``F.lit`` py4j round-trips per call — for the
+    multi-table ANN operators that measured 2-5.6 s of scale-invariant
+    DRIVER time per query build (same finding as the simhash SWAR
+    expressions). Operator-for-operator identical tree after parsing
+    (aggregate/zip_with/CASE WHEN/shiftleft with the same casts), so
+    bucket keys are bit-identical — pinned against the Column form in
+    tests/test_functions.py. Literals use repr(float): shortest
+    round-trip, parses back to the exact same double."""
+    terms = ["CAST(0 AS BIGINT)"]
+    for i, p in enumerate(planes):
+        arr = ", ".join(f"{float(x)!r}D" for x in p)
+        proj = (
+            f"aggregate(zip_with(`{vec_sql}`, array({arr}), "
+            f"(x, c) -> CAST(x AS DOUBLE) * c), 0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"(CASE WHEN {proj} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr(" + ".join(terms))
+
+
 def lsh_bucket_udf(planes: np.ndarray):
     """Arrow-batched bucket key: one (batch × dim) @ (dim × planes) BLAS
     matmul per batch. Value-identical to ``lsh_bucket_expr`` except float
@@ -154,11 +179,17 @@ def lsh_bucket_udf(planes: np.ndarray):
 _CATALYST_LSH_MAX_TERMS = 2048
 
 
-def lsh_bucket_col(vec, planes: np.ndarray):
+def lsh_bucket_col(vec, planes: np.ndarray, vec_sql: "str | None" = None):
     """Bucket key column, auto-selected implementation: the pure-Catalyst
     expression (stays inside whole-stage codegen) while the unrolled
-    n_planes×dim literal count is small; the Arrow-batched UDF beyond that."""
+    n_planes×dim literal count is small; the Arrow-batched UDF beyond that.
+    ``vec_sql`` (the plain column name, when the caller has one) routes the
+    Catalyst path through the single-parse SQL builder instead of the
+    py4j-per-literal Column builder — bit-identical keys, ~100× cheaper
+    query construction (see lsh_bucket_sql)."""
     if planes.size <= _CATALYST_LSH_MAX_TERMS:
+        if vec_sql is not None:
+            return lsh_bucket_sql(vec_sql, planes)
         return lsh_bucket_expr(vec, planes)
     return lsh_bucket_udf(planes)(vec)
 
@@ -207,11 +238,16 @@ def lsh_ann_topk(
         # probe variants are then cheap bigint XORs of the named column
         # (inlining the bucket expression per mask would re-run the dot
         # products ×(1+n_planes): HOFs are CodegenFallback, no CSE)
+        # norm computed ONCE per row here (not per candidate pair in the
+        # verify — the aggregate() norm is an interpreted HOF, guide §4.1)
+        # and carried through the explode + candidate aggregate
         with_base = src.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(out_id + "_vec"),
+            _norm(F.col(vec_col)).alias(out_id + "_nrm"),
             *[
-                lsh_bucket_col(F.col(vec_col), planes).alias(f"_b{t}")
+                lsh_bucket_col(F.col(vec_col), planes,
+                               vec_sql=vec_col).alias(f"_b{t}")
                 for t, planes in enumerate(tables)
             ],
         )
@@ -226,9 +262,10 @@ def lsh_ann_topk(
             ]
         )
         return with_base.select(
-            out_id, out_id + "_vec", F.explode(entries).alias("tb")
+            out_id, out_id + "_vec", out_id + "_nrm",
+            F.explode(entries).alias("tb")
         ).select(
-            out_id, out_id + "_vec",
+            out_id, out_id + "_vec", out_id + "_nrm",
             F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
         )
 
@@ -244,10 +281,18 @@ def lsh_ann_topk(
         .agg(
             F.first("query_id_vec").alias("qvec"),
             F.first("neighbor_id_vec").alias("cvec"),
+            F.first("query_id_nrm").alias("qnrm"),
+            F.first("neighbor_id_nrm").alias("cnrm"),
         )
     )
+    # bit-exact vs cosine_expr: same dot, same norms, same operand order
     scored = cands.withColumn(
-        "sim", F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 4)
+        "sim",
+        F.round(
+            F.try_divide(_dot(F.col("qvec"), F.col("cvec")),
+                         F.col("qnrm") * F.col("cnrm")),
+            4,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -359,6 +404,8 @@ def ivf_ann_topk(
     feats = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        # per-row norm, hoisted out of the per-candidate verify (§4.1)
+        _norm(F.col(vec_col)).alias("cnrm"),
         array_to_vector(_unit_expr(F.col(vec_col))).alias("features"),
     )
     if quantizer is not None:
@@ -369,7 +416,7 @@ def ivf_ann_topk(
         model = fit_ivf_quantizer(df, vec_col, n_centroids, seed,
                                   fit_sample_max)
     corpus = model.transform(feats).select(
-        "neighbor_id", "cvec", F.col("prediction").alias("centroid")
+        "neighbor_id", "cvec", "cnrm", F.col("prediction").alias("centroid")
     )
     # queries probe the n_probe nearest centroids (euclidean, like k-means)
     cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
@@ -377,6 +424,7 @@ def ivf_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnrm"),
         _unit_expr(F.col(vec_col)).alias("qunit"),
     ).crossJoin(cent_df)  # n_centroids rows, local — auto-broadcast by size
     d2 = F.aggregate(
@@ -392,15 +440,21 @@ def ivf_ann_topk(
         q.withColumn("d2", d2)
         .withColumn("pr", F.row_number().over(wq))
         .filter(F.col("pr") <= n_probe)
-        .select("query_id", "qvec", "centroid")
+        .select("query_id", "qvec", "qnrm", "centroid")
     )
     # no forced broadcast of the probe set: it scales with the query set
     # (n_probe rows per query) — AQE size estimates broadcast when small
     joined = corpus.join(probes, "centroid").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
+    # bit-exact vs cosine_expr: hoisted norms, same operand order (§4.1)
     scored = joined.withColumn(
-        "sim", F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 4)
+        "sim",
+        F.round(
+            F.try_divide(_dot(F.col("qvec"), F.col("cvec")),
+                         F.col("qnrm") * F.col("cnrm")),
+            4,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -692,11 +746,19 @@ def ivfpq_ann_topk(
     # exact re-rank: fetch full vectors (corpus AND query side) for the
     # ≤rerank-per-query shortlist only
     full = df.select(F.col(id_col).alias("neighbor_id"),
-                     F.col(vec_col).alias("cvec"))
+                     F.col(vec_col).alias("cvec"),
+                     _norm(F.col(vec_col)).alias("cnrm"))
     qtab = queries.select(F.col(id_col).alias("query_id"),
-                          F.col(vec_col).alias("qvec"))
+                          F.col(vec_col).alias("qvec"),
+                          _norm(F.col(vec_col)).alias("qnrm"))
+    # bit-exact vs cosine_expr: per-row hoisted norms, same operand order
     rer = short.join(full, "neighbor_id").join(qtab, "query_id").withColumn(
-        "sim", F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 4)
+        "sim",
+        F.round(
+            F.try_divide(_dot(F.col("qvec"), F.col("cvec")),
+                         F.col("qnrm") * F.col("cnrm")),
+            4,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -752,8 +814,14 @@ def embedding_neardup(
     with_base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        # per-row norm, hoisted out of the per-candidate verify (§4.1);
+        # rides the same carry as the vector. (id, tbl, bucket) stays
+        # unique, so the extra carry column cannot change the rank
+        # window's deterministic order in capped_bucket_pairs.
+        _norm(F.col(vec_col)).alias("nrm"),
         *[
-            lsh_bucket_col(F.col(vec_col), planes).alias(f"_b{t}")
+            lsh_bucket_col(F.col(vec_col), planes,
+                           vec_sql=vec_col).alias(f"_b{t}")
             for t, planes in enumerate(tables)
         ],
     )
@@ -764,20 +832,30 @@ def embedding_neardup(
         ]
     )
     t = with_base.select(
-        "id", "vec", F.explode(entries).alias("tb")
+        "id", "vec", "nrm", F.explode(entries).alias("tb")
     ).select(
-        "id", "vec",
+        "id", "vec", "nrm",
         F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
     )
     # dedup candidate pairs BEFORE the exact verify: first(vec) carries the
     # vectors through the same hash aggregate that collapses multi-table hits
     pairs = (
-        capped_bucket_pairs(t, ["tbl", "bucket"], max_bucket, carry=("vec",))
+        capped_bucket_pairs(t, ["tbl", "bucket"], max_bucket,
+                            carry=("vec", "nrm"))
         .groupBy("id_a", "id_b")
-        .agg(F.first("a_vec").alias("va"), F.first("b_vec").alias("vb"))
+        .agg(F.first("a_vec").alias("va"), F.first("b_vec").alias("vb"),
+             F.first("a_nrm").alias("na"), F.first("b_nrm").alias("nb"))
     )
+    # bit-exact vs cosine_expr: same dot, same norms, same operand order
     return (
-        pairs.withColumn("sim", F.round(cosine_expr(F.col("va"), F.col("vb")), 4))
+        pairs.withColumn(
+            "sim",
+            F.round(
+                F.try_divide(_dot(F.col("va"), F.col("vb")),
+                             F.col("na") * F.col("nb")),
+                4,
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

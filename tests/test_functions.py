@@ -514,6 +514,7 @@ def test_lsh_bucket_udf_matches_expr(spark):
     from heliport_spark.operators.similarity import (
         hyperplanes,
         lsh_bucket_expr,
+        lsh_bucket_sql,
         lsh_bucket_udf,
     )
 
@@ -522,8 +523,13 @@ def test_lsh_bucket_udf_matches_expr(spark):
     both = e.select(
         lsh_bucket_expr(F.col("embedding"), planes).alias("k_expr"),
         lsh_bucket_udf(planes)(F.col("embedding")).alias("k_udf"),
+        lsh_bucket_sql("embedding", planes).alias("k_sql"),
     )
     assert both.filter(F.col("k_expr") != F.col("k_udf")).count() == 0
+    # the single-parse SQL builder (the hot query-construction path) must be
+    # BIT-identical to the Column form — same operators, repr round-trip
+    # literals
+    assert both.filter(F.col("k_expr") != F.col("k_sql")).count() == 0
 
 
 def test_identify_df_relevant_langs(spark):
