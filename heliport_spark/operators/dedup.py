@@ -716,10 +716,20 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
     through the same MAX_BUCKET cap as every other banded self-join —
     overflow members keep only their representative link, so n_shared
     undercounts inside capped buckets (see MAX_BUCKET)."""
+    # Explicit fp-keyed repartition before the banded self-join: the rank
+    # window's planner exchange is AQE-coalesced to the PRE-join size (the
+    # (id, fp) table is tiny next to its C(min(n,cap),2) pair fan-out), so
+    # the join + partial count ran on a handful of fat tasks (guide §2.5 —
+    # explode-after-coalesce; measured 5 partitions carrying 26M pair rows
+    # at sf0.1). An explicit repartition is not coalesced, satisfies the
+    # window's clustering requirement (no extra exchange), and is derived
+    # from defaultParallelism, not a constant.
+    par = df.sparkSession.sparkContext.defaultParallelism
     fp = (
         winnow_fingerprints(df, text_col, id_col, k, w)
         .select("id", "fp")
         .distinct()
+        .repartition(par * 2, "fp")
     )
     return (
         capped_bucket_pairs(fp, ["fp"], max_bucket)
@@ -778,9 +788,14 @@ def winnow_shared_spans(df: DataFrame, pairs: "DataFrame | None" = None,
     fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint(
         eager=True
     )
+    par = df.sparkSession.sparkContext.defaultParallelism
     if pairs is None:
         # winnow_overlap_pairs' computation verbatim over the shared frame
-        fpd = fps.select("id", "fp").distinct()
+        # (including its explicit fp-keyed repartition — see the comment
+        # there: the rank window's exchange is otherwise AQE-coalesced to
+        # the PRE-fan-out size and the banded self-join + count run on a
+        # handful of fat tasks)
+        fpd = fps.select("id", "fp").distinct().repartition(par * 2, "fp")
         pairs = (
             capped_bucket_pairs(fpd, ["fp"], max_bucket)
             .groupBy("id_a", "id_b")
@@ -794,11 +809,22 @@ def winnow_shared_spans(df: DataFrame, pairs: "DataFrame | None" = None,
                    F.col("pos").alias("a_pos"))
     b = fps.select(F.col("id").alias("id_b"), F.col("fp"),
                    F.col("pos").alias("b_pos"))
+    # the pair list is tiny next to the matched-position fan-out it drives
+    # (each pair multiplies into m_a x m_b rows per shared fp value), so the
+    # join stage inherits the pair list's AQE-coalesced partitioning unless
+    # told otherwise — same explode-after-coalesce trap as above
     matches = (
-        pairs.join(a, "id_a")
+        pairs.repartition(par, "id_a")
+        .join(a, "id_a")
         .join(b, ["id_b", "fp"])
-        .select("id_a", "id_b", "a_pos", "b_pos",
-                (F.col("a_pos") - F.col("b_pos")).alias("delta"))
+        # shuffle-narrowing (guide §2.3): b_pos is derivable (b_off =
+        # a_off - delta, since b_pos = a_pos - delta within a vote group)
+        # and positions are bounded by _WINNOW_POS_MAX = 2^20, so the
+        # window shuffle carries two ints instead of three bigints;
+        # outputs are cast back below — values bit-identical
+        .select("id_a", "id_b",
+                F.col("a_pos").cast("int").alias("a_pos"),
+                (F.col("a_pos") - F.col("b_pos")).cast("int").alias("delta"))
     )
     seg_w = Window.partitionBy("id_a", "id_b", "delta").orderBy("a_pos")
     segged = (
@@ -818,13 +844,17 @@ def winnow_shared_spans(df: DataFrame, pairs: "DataFrame | None" = None,
     return (
         segged.groupBy("id_a", "id_b", "delta", "_seg")
         .agg(
-            F.min("a_pos").alias("a_off"),
-            F.min("b_pos").alias("b_off"),
-            (F.max("a_pos") - F.min("a_pos") + k).alias("span_len"),
+            F.min("a_pos").alias("_a_off"),
+            (F.max("a_pos") - F.min("a_pos") + k).alias("_span_len"),
             F.count(F.lit(1)).alias("n_fps"),
         )
         .filter(F.col("n_fps") >= min_fps)
-        .select("id_a", "id_b", "a_off", "b_off", "span_len", "n_fps")
+        .select("id_a", "id_b",
+                F.col("_a_off").cast("bigint").alias("a_off"),
+                (F.col("_a_off") - F.col("delta")).cast("bigint")
+                .alias("b_off"),
+                F.col("_span_len").cast("bigint").alias("span_len"),
+                "n_fps")
     )
 
 
