@@ -1284,6 +1284,15 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    def _cut_lazy(df: DataFrame) -> DataFrame:
+        # lazy variant for frames whose first action immediately follows:
+        # the action materializes the checkpoint, so eager=True's separate
+        # materialization job would be pure per-round latency (the loop
+        # below counts the fresh frame right after cutting it)
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
+
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(
@@ -1296,6 +1305,17 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         edges = _cut(edges)
         if algorithm == "star":
             return _star_components(edges, _cut, max_iters)
+        # size the loop's frames from the MATERIALIZED edge count (cheap —
+        # cached blocks), not spark.sql.shuffle.partitions: a small pair
+        # graph otherwise drags 32+ near-empty tasks through every round's
+        # jobs, and the loop is latency-bound, not data-bound (guide §2 —
+        # scale-adaptive partitioning; ~20k edges/partition keeps big
+        # graphs at defaultParallelism unchanged)
+        n_edges = edges.count()
+        par = pairs.sparkSession.sparkContext.defaultParallelism
+        n_part = int(max(1, min(par, n_edges // 20_000 + 1)))
+        if edges.rdd.getNumPartitions() > n_part:
+            edges = _cut(edges.coalesce(n_part))
         labels = _cut(
             edges.select(F.col("src").alias("id"))
             .distinct()
@@ -1349,13 +1369,15 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             u = parts[0]
             for extra in parts[1:]:
                 u = u.union(extra)
-            new_labels = _cut(
+            new_labels = _cut_lazy(
                 u.groupBy("id")
                 .agg(F.min("lab").alias("lab"), F.max("old").alias("old"))
                 .withColumn("_chg", F.col("lab") != F.col("old"))
             )
-            # the frame is already materialized by the eager checkpoint —
-            # this count scans cached label blocks, no join, no shuffle
+            # this count is the round's ONE action: it materializes the
+            # lazy checkpoint (every partition is scanned, so all blocks
+            # are stored) AND reads the convergence flag — folding what
+            # used to be an eager-checkpoint job + a count job per round
             changed = new_labels.filter(F.col("_chg")).count()
             # free the superseded round's checkpoint blocks now instead of
             # waiting for driver GC + ContextCleaner (otherwise up to
