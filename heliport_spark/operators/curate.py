@@ -197,7 +197,11 @@ def curate_documents(
             ),
         )
 
-    # 1: exact dedup first — collapses byte-identical piles pre-banding
+    # 1: exact dedup first — collapses byte-identical piles pre-banding.
+    # Deliberately NOT persisted (measured sf0.1 min-of-3: persisting
+    # regressed the chain 11.9 → 14.2 s — the eager fill of a text-bearing
+    # frame costs more than the one extra fingerprint-agg + semi-join
+    # recompute it would save).
     ex = _note(
         "exact",
         d.join(

@@ -1090,6 +1090,15 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
         "id", "simhash",
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
+    # materialize the banded signature frame ONCE (the _band_candidates /
+    # winnow_shared_spans pattern, guide §3.3): capped_bucket_pairs reads it
+    # three times (self-join stream side, broadcast build side, overflow
+    # branch) and the broadcast subtree cannot reuse a hash-partitioned
+    # exchange, so without the cut the full shingle-explode → hash →
+    # SWAR-sign-sum signature pipeline executed three times per run. The
+    # frame is (id, simhash, band, key) metadata — bands rows per doc,
+    # ~40 B each, far smaller than the corpus it derives from.
+    e = e.localCheckpoint(eager=True)
     cand = (
         capped_bucket_pairs(e, ["band", "key"], max_bucket, carry=("simhash",))
         .select(
