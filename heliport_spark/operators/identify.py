@@ -151,8 +151,17 @@ def identify_df(
             out["scrub_cand"] = sc
         return out
 
+    # Non-deterministic marking (guide §4.4): a downstream filter on a
+    # UDF-derived column (the pipeline's `keep`, the LID gate's lang
+    # drop-list) is otherwise pushed below the projection AND re-evaluated
+    # above it — the plan grows TWO ArrowEvalPython nodes for the same
+    # heli_udf(text) call and every surviving row pays the scorer twice
+    # (measured in the curate_clips gate plan: nodes (5)+(8) both
+    # heli_udf(transcript)). The scorer is pure, so this changes planning
+    # only, not values; applied to the expensive UDF alone, not blanket.
+    heli_nd = heli_udf.asNondeterministic()
     tmp = "_heli_" + prefix
-    out = df.withColumn(tmp, heli_udf(F.col(text_col)))
+    out = df.withColumn(tmp, heli_nd(F.col(text_col)))
     for f in fields:
         out = out.withColumn(prefix + f.name, F.col(f"{tmp}.{f.name}"))
     return out.drop(tmp)
