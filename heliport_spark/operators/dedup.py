@@ -484,6 +484,12 @@ def minhash_jaccard_estimate(df: DataFrame, text_col: str = "text",
             for i in range(H)
         ],
     )
+    # materialize the dual-family signature frame ONCE (guide §3.3, the
+    # _band_candidates pattern): it feeds the banding cut AND both join
+    # sides of the estimate below — without the cut the full shingle
+    # explode + 24-way min aggregate ran three times per call. One wide
+    # row per doc (~200 B), far smaller than the corpus.
+    both = both.localCheckpoint(eager=True)
     cand = _band_candidates(both, bands, max_bucket)
     sm = both
     a = sm.select(
@@ -518,6 +524,12 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: "DataFrame | None" = None,
     # shingles_expr's array_distinct followed by .distinct() deduped the
     # largest intermediate twice
     sh = _shingle_rows(df, text_col, id_col, n_shingle).distinct()
+    # materialize the distinct shingle table ONCE (guide §3.3): it feeds
+    # the per-doc size aggregate and BOTH sides of the intersection join —
+    # three subtrees that each re-ran the explode + distinct otherwise.
+    # The consumers shuffle it by different keys, so exchange reuse cannot
+    # help; cached blocks are read three ways instead.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
         # intersections are driven through the candidate PAIR list, not a
