@@ -821,13 +821,13 @@ def winnow_shared_spans(df: DataFrame, pairs: "DataFrame | None" = None,
                    F.col("pos").alias("a_pos"))
     b = fps.select(F.col("id").alias("id_b"), F.col("fp"),
                    F.col("pos").alias("b_pos"))
-    # the pair list is tiny next to the matched-position fan-out it drives
-    # (each pair multiplies into m_a x m_b rows per shared fp value), so the
-    # join stage inherits the pair list's AQE-coalesced partitioning unless
-    # told otherwise — same explode-after-coalesce trap as above
+    # NO repartition on the pair list: the position-match joins stream the
+    # (much larger) fingerprint side while AQE runtime-broadcasts the pair
+    # list, so parallelism comes from the fps partitioning — an explicit
+    # exchange here measured NEUTRAL at sf0.1 and ~15% SLOWER at 10x
+    # (it interferes with the runtime broadcast decision)
     matches = (
-        pairs.repartition(par, "id_a")
-        .join(a, "id_a")
+        pairs.join(a, "id_a")
         .join(b, ["id_b", "fp"])
         # shuffle-narrowing (guide §2.3): b_pos is derivable (b_off =
         # a_off - delta, since b_pos = a_pos - delta within a vote group)
