@@ -103,8 +103,9 @@ def _hash_spans(cp: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndar
         for j in range(max_len):
             lo = int(np.searchsorted(ls, j + 1))
             sl = slice(lo, n)
-            c = cp[ssj[sl]].astype(np.uint64)
-            hs[sl] = (hs[sl] ^ c) * _FNV_PRIME
+            tail = hs[sl]  # contiguous basic slice — a view, ops in place
+            np.bitwise_xor(tail, cp[ssj[sl]], out=tail)
+            np.multiply(tail, _FNV_PRIME, out=tail)
             ssj[sl] += 1
         hs = _splitmix(hs)
     h = np.empty(n, dtype=np.uint64)
@@ -331,36 +332,52 @@ class Scorer:
             return (np.empty(0, np.uint32), z, z, z,
                     np.zeros(n + 1, np.int64), cjk_pct, valid)
         cp = np.where(m.keep_table[cp], cp, np.uint32(0x20))
-        iscjk = m.cjk_table[cp]
+        # CJK fast path: the lowest CJK block starts at 0x2E80 (chartables
+        # CJK_BLOCK_RANGES), so a batch whose max cleaned codepoint is below
+        # it — or whose cjk-table gather comes back all-False (e.g. Hangul
+        # syllables sit above 0x2E80 but outside the 17 blocks) — skips the
+        # cjk prefix sum and both transition terms. Outputs are identical:
+        # with iscjk all-False every cjk-derived term is False/0 and
+        # cjk_pct keeps its +0.0 initialization (= 0/mystery bit-for-bit).
+        iscjk = None
+        if int(cp.max()) >= 0x2E80:
+            iscjk = m.cjk_table[cp]
+            if not iscjk.any():
+                iscjk = None
         nonspace = cp != 0x20
         # per-text counts via prefix sums (robust to empty texts); int32 is
         # plenty (counts ≤ buffer length < 2^31 per Arrow batch) and halves
-        # the traffic of the two buffer-wide cumsums
+        # the traffic of the buffer-wide cumsums
         cs_ns = np.zeros(len(cp) + 1, dtype=np.int32)
         np.cumsum(nonspace, out=cs_ns[1:])
-        cs_cjk = np.zeros(len(cp) + 1, dtype=np.int32)
-        np.cumsum(iscjk, out=cs_cjk[1:])
         t0 = text_start[:-1]
         t1 = np.minimum(text_start[1:] - 1, len(cp))  # exclude separator
         mystery = cs_ns[t1] - cs_ns[t0]
-        cjk_n = cs_cjk[t1] - cs_cjk[t0]
         nz = mystery > 0
-        cjk_pct[nz] = cjk_n[nz] / mystery[nz]
+        if iscjk is not None:
+            cs_cjk = np.zeros(len(cp) + 1, dtype=np.int32)
+            np.cumsum(iscjk, out=cs_cjk[1:])
+            cjk_n = cs_cjk[t1] - cs_cjk[t0]
+            cjk_pct[nz] = cjk_n[nz] / mystery[nz]
         # token boundaries: break at spaces and CJK↔non-CJK transitions (P3)
         prev_ns = np.empty_like(nonspace)
         prev_ns[0] = False
         prev_ns[1:] = nonspace[:-1]
-        prev_cjk = np.empty_like(iscjk)
-        prev_cjk[0] = False
-        prev_cjk[1:] = iscjk[:-1]
-        starts = nonspace & (~prev_ns | (iscjk != prev_cjk))
         next_ns = np.empty_like(nonspace)
         next_ns[-1] = False
         next_ns[:-1] = nonspace[1:]
-        next_cjk = np.empty_like(iscjk)
-        next_cjk[-1] = False
-        next_cjk[:-1] = iscjk[1:]
-        ends = nonspace & (~next_ns | (iscjk != next_cjk))
+        if iscjk is not None:
+            prev_cjk = np.empty_like(iscjk)
+            prev_cjk[0] = False
+            prev_cjk[1:] = iscjk[:-1]
+            starts = nonspace & (~prev_ns | (iscjk != prev_cjk))
+            next_cjk = np.empty_like(iscjk)
+            next_cjk[-1] = False
+            next_cjk[:-1] = iscjk[1:]
+            ends = nonspace & (~next_ns | (iscjk != next_cjk))
+        else:
+            starts = nonspace & ~prev_ns
+            ends = nonspace & ~next_ns
         s_idx = np.flatnonzero(starts)
         e_idx = np.flatnonzero(ends)
         tok_text = np.searchsorted(text_start[1:], s_idx, side="right")
