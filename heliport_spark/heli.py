@@ -175,6 +175,11 @@ class Scorer:
         # batch's (uniq_h, flat_ids, tok_text, bounds) instead of re-hashing
         # every token span (measured ~18% whole-pipeline overhead without it)
         self._tok_cache: "tuple | None" = None
+        # (batch key, codes, uniq) from score_batch's duplicate-shortcut
+        # factorize — codes/uniq are None when the shortcut was evaluated
+        # but not profitable. Lets word_nll_batch skip re-running the
+        # identical NUL scan + factorize on the same batch (~7 ms/10k).
+        self._dup_cache: "tuple | None" = None
 
     # ------------------------------------------------------------ vocab bank
     # Scored distinct words live in flat growable arrays (sparse CSR-style):
@@ -585,7 +590,11 @@ class Scorer:
                 codes, uniq = _factorize_texts(texts)
                 if 2 * len(uniq) <= n:
                     pts_u, valid_u, cjk_u = self.score_batch(list(uniq))
+                    # set AFTER the recursion (which overwrites the cache
+                    # with its own no-shortcut entry for the uniq list)
+                    self._dup_cache = (tuple(texts), codes, uniq)
                     return pts_u[codes], valid_u[codes], cjk_u[codes]
+                self._dup_cache = (tuple(texts), None, None)
             cp, s_idx, e_idx, tok_text, bounds, cjk_pct, valid = \
                 self._preprocess_core(texts)
             if len(s_idx) == 0:
@@ -757,8 +766,14 @@ class Scorer:
         # distinct text once and scatter (the winner of a text is a function
         # of the text, so winner_idx at the first occurrence is THE winner)
         if n > 16:
-            codes, uniq = _factorize_texts(texts)
-            if 2 * len(uniq) <= n:
+            dc = self._dup_cache
+            if dc is not None and dc[0] == tuple(texts):
+                codes, uniq = dc[1], dc[2]  # score_batch's verdict, reused
+            else:
+                codes, uniq = _factorize_texts(texts)
+                if 2 * len(uniq) > n:
+                    codes = None
+            if codes is not None:
                 _, fidx = np.unique(codes, return_index=True)
                 return self.word_nll_batch(list(uniq), winner_idx[fidx])[codes]
         # token hashes: reuse score_batch's per-batch artifacts when this is
