@@ -57,6 +57,11 @@ _COLLAPSE_I = COLLAPSE.astype(np.int64)
 _EMPTY_I16 = np.empty(0, np.int16)
 _EMPTY_F32 = np.empty(0, np.float32)
 
+# word_nll_batch dense-matrix cap: (uniq words × distinct winner langs)
+# cells above this fall back to the sorted-key binary-search probe (32 MB
+# of f32 at the cap; both paths are bit-identical — see word_nll_batch)
+_WNLL_DENSE_CELL_CAP = 8_000_000
+
 
 def _shingles(wordspace: str, t: int) -> "list[str]":
     """Char windows of width t over an already space-padded word (P5)."""
@@ -796,25 +801,47 @@ class Scorer:
         table = self.model.orders[0]
         fi = table.lookup(uniq_h.astype(np.uint64, copy=False))
         found = fi >= 0
+        wl = winner_idx[tok_text]  # per-occurrence winner lang id
+        # distinct winner langs in this batch (≤ min(n, N_LANGS), usually a
+        # handful): the occurrence lookup only ever probes (word, winner)
+        # cells, so a dense (uniq word × distinct winner) value matrix turns
+        # the per-occurrence sorted-key binary search into ONE 2-D gather —
+        # all linear passes, no per-query binary search (measured 16 ms of
+        # searchsorted alone on a 556k-occurrence batch). Values are
+        # gathered, never summed, so the result is bit-identical; the
+        # reversed scatter makes the FIRST posting win on a (word, lang)
+        # duplicate, matching the stable-argsort + left-searchsorted it
+        # replaces. Size-capped: pathological batches (huge vocab × many
+        # winners) fall back to the original sorted-key probe.
+        uw = np.unique(winner_idx)
+        dense_cells = len(uniq_h) * len(uw)
         if found.any():
             plang, padj, bnd = self._flat_gather(table, fi[found])
             fu = np.flatnonzero(found)
             word_of_posting = np.repeat(fu, np.diff(bnd))
-            keys = word_of_posting * N_LANGS + plang
             vals = padj.astype(np.float32) + np.float32(PENALTY)  # = pprob
-            order = np.argsort(keys, kind="stable")
-            keys = keys[order]
-            vals = vals[order]
+            if dense_cells <= _WNLL_DENSE_CELL_CAP:
+                col = np.full(N_LANGS, -1, dtype=np.int32)
+                col[uw] = np.arange(len(uw), dtype=np.int32)
+                M = np.full(
+                    (len(uniq_h), len(uw)), np.float32(PENALTY),
+                    dtype=np.float32,
+                )
+                pc = col[plang]
+                pm = pc >= 0
+                M[word_of_posting[pm][::-1], pc[pm][::-1]] = vals[pm][::-1]
+                occ_val = M[flat_ids, col[wl]]
+            else:
+                keys = word_of_posting * N_LANGS + plang
+                order = np.argsort(keys, kind="stable")
+                keys = keys[order]
+                vals = vals[order]
+                occ_keys = flat_ids.astype(np.int64) * N_LANGS + wl
+                pos = np.minimum(np.searchsorted(keys, occ_keys), len(keys) - 1)
+                hit = keys[pos] == occ_keys
+                occ_val = np.where(hit, vals[pos], np.float32(PENALTY))
         else:
-            keys = np.empty(0, np.int64)
-            vals = _EMPTY_F32
-        occ_keys = flat_ids.astype(np.int64) * N_LANGS + winner_idx[tok_text]
-        if len(keys):
-            pos = np.minimum(np.searchsorted(keys, occ_keys), len(keys) - 1)
-            hit = keys[pos] == occ_keys
-            occ_val = np.where(hit, vals[pos], np.float32(PENALTY))
-        else:
-            occ_val = np.full(len(occ_keys), np.float32(PENALTY))
+            occ_val = np.full(len(flat_ids), np.float32(PENALTY))
         sums = np.bincount(tok_text, weights=occ_val.astype(np.float64), minlength=n)
         cnt = np.diff(bounds)
         nz = cnt > 0

@@ -164,3 +164,21 @@ def test_hash_spans_long_token_matches_hash_grams():
     starts = np.zeros(len(words), dtype=np.int64)
     np.cumsum(lens[:-1] + 1, out=starts[1:])
     assert _hash_spans(cp, starts, lens).tolist() == hash_grams(words).tolist()
+
+
+def test_word_nll_dense_gather_matches_sorted_probe(fast_scorer, monkeypatch):
+    """word_nll_batch has two bit-identical lookup paths: the dense
+    (uniq word × distinct winner) gather and the sorted-key binary-search
+    fallback it replaced (engaged above _WNLL_DENSE_CELL_CAP). Pin their
+    equality on a mixed batch (known words, OOV, empty, CJK, duplicates)."""
+    import heliport_spark.heli as H
+
+    texts = _mixed_corpus() + ["", "zzqqxx unknownword9", "你好世界 " * 4]
+    texts = texts * 3  # exercise the duplicate shortcut too
+    res_dense = fast_scorer.identify_batch(texts, with_word_nll=True)
+
+    monkeypatch.setattr(H, "_WNLL_DENSE_CELL_CAP", -1)
+    fallback_scorer = Scorer()
+    res_fb = fallback_scorer.identify_batch(texts, with_word_nll=True)
+    assert list(res_dense[0]) == list(res_fb[0])
+    np.testing.assert_array_equal(res_dense[4], res_fb[4])
