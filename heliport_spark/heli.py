@@ -118,6 +118,26 @@ def _hash_spans(cp: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndar
     return h
 
 
+def _dup_probe_rules_out(texts: "list") -> bool:
+    """True when the exact-duplicate shortcut provably cannot fire — a
+    cheap O(n) upper-bound probe run BEFORE the NUL scan + pd.factorize.
+
+    Python caches ``str.__hash__`` per object and equal contents hash
+    equal, so ``len({hash(t)})`` ≤ the true distinct-content count (hash
+    collisions only shrink the set; non-str rows count as the empty
+    string, matching _factorize_texts' coercion). Hence a set bigger than
+    n/2 proves ``2*uniq <= n`` is impossible and the full factorize is
+    skipped — the decision is performance-only (both score paths are
+    bit-identical), so the probe can never change an output, only when
+    the factorize money is spent. On duplicate-free corpora (e.g. salted
+    scaling tables) this removes the whole probe cost; on duplicate-heavy
+    batches it adds one cheap hash pass before the unchanged factorize."""
+    n = len(texts)
+    h_empty = hash("")
+    probe = {hash(t) if isinstance(t, str) else h_empty for t in texts}
+    return 2 * len(probe) > n
+
+
 def _factorize_texts(texts: "list") -> "tuple[np.ndarray, np.ndarray]":
     """(codes, uniq) for a batch of raw texts — pandas-fast, NUL-correct.
 
@@ -591,7 +611,7 @@ class Scorer:
             # texts; score each distinct text once and scatter the rows back
             # (bit-identical by construction). Factorize costs ~ms per 10k
             # batch; only recurse when it at least halves the work.
-            if n > 16:
+            if n > 16 and not _dup_probe_rules_out(texts):
                 codes, uniq = _factorize_texts(texts)
                 if 2 * len(uniq) <= n:
                     pts_u, valid_u, cjk_u = self.score_batch(list(uniq))
@@ -599,6 +619,8 @@ class Scorer:
                     # with its own no-shortcut entry for the uniq list)
                     self._dup_cache = (tuple(texts), codes, uniq)
                     return pts_u[codes], valid_u[codes], cjk_u[codes]
+                self._dup_cache = (tuple(texts), None, None)
+            elif n > 16:
                 self._dup_cache = (tuple(texts), None, None)
             cp, s_idx, e_idx, tok_text, bounds, cjk_pct, valid = \
                 self._preprocess_core(texts)
@@ -774,6 +796,8 @@ class Scorer:
             dc = self._dup_cache
             if dc is not None and dc[0] == tuple(texts):
                 codes, uniq = dc[1], dc[2]  # score_batch's verdict, reused
+            elif _dup_probe_rules_out(texts):
+                codes = uniq = None
             else:
                 codes, uniq = _factorize_texts(texts)
                 if 2 * len(uniq) > n:

@@ -182,3 +182,16 @@ def test_word_nll_dense_gather_matches_sorted_probe(fast_scorer, monkeypatch):
     res_fb = fallback_scorer.identify_batch(texts, with_word_nll=True)
     assert list(res_dense[0]) == list(res_fb[0])
     np.testing.assert_array_equal(res_dense[4], res_fb[4])
+
+
+def test_dup_probe_soundness():
+    """_dup_probe_rules_out may only return True when the shortcut truly
+    cannot fire (2*uniq > n) — never on duplicate-heavy batches."""
+    from heliport_spark.heli import _dup_probe_rules_out
+
+    distinct = [f"text number {i}" for i in range(100)]
+    assert _dup_probe_rules_out(distinct)          # all unique: ruled out
+    dup = [distinct[i % 10] for i in range(100)]
+    assert not _dup_probe_rules_out(dup)           # 10 uniques: must probe
+    # non-str rows coerce to '' (matching _factorize_texts)
+    assert not _dup_probe_rules_out([None] * 50 + distinct[:10])
