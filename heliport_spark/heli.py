@@ -697,7 +697,9 @@ class Scorer:
                 if len(idx_cat):
                     rows = np.repeat(np.arange(u), nnz)
                     np.add.at(W, (rows, idx_cat), val_cat)
-                points[:] = C @ W
+                # same sgemm, written straight into points (no n×242 temp
+                # + copy; bit-identical — identical BLAS call)
+                np.matmul(C, W, out=points)
             else:
                 # large vocabulary: per-occurrence sparse expansion with
                 # bincount on combined (text, lang) keys — bounded memory,
